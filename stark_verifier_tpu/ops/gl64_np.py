@@ -1,0 +1,149 @@
+"""Goldilocks field GF(p), p = 2^64 - 2^32 + 1 — numpy uint64 backend.
+
+This is the host-side golden model: it runs the identical mathematics as the
+TPU backend (`gl64_jax`) but on numpy uint64 arrays, and is used by the
+prover/fixture pipeline and as the reference in bit-exactness tests.
+
+Semantics mirror what the reference circuit constrains: every op returns the
+canonical representative 0 <= r < p (reference: chip/native_chip/
+arithmetic_chip.rs:19,98-107 range-checks r < p after each mul-add).
+
+Elements are represented as np.uint64 arrays (any shape); all ops are
+elementwise and vectorized.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+P = 0xFFFFFFFF00000001
+EPSILON = 0xFFFFFFFF  # 2^64 mod p
+_P = np.uint64(P)
+_EPS = np.uint64(EPSILON)
+_U32 = np.uint64(0xFFFFFFFF)
+_32 = np.uint64(32)
+
+# Multiplicative group generator of GF(p)* (order p-1), same as plonky2.
+GENERATOR = 7
+# 2 is a primitive 2^32-th root of unity? plonky2 uses POWER_OF_TWO_GENERATOR
+# = 7^((p-1) / 2^32) = 0x185629dcda58878c with TWO_ADICITY = 32.
+TWO_ADICITY = 32
+
+
+def asfield(x) -> np.ndarray:
+    """Coerce python ints / arrays into canonical uint64 field elements."""
+    a = np.asarray(x, dtype=np.object_) if isinstance(x, (list, tuple)) else x
+    a = np.asarray(np.mod(np.asarray(a, dtype=np.object_), P)).astype(np.uint64)
+    return a
+
+
+def add(a, b):
+    s = a + b  # wraps mod 2^64
+    of = s < a
+    s = s + of.astype(np.uint64) * _EPS
+    # single conditional subtract brings into canonical range
+    ge = s >= _P
+    return s - ge.astype(np.uint64) * _P
+
+
+def sub(a, b):
+    d = a - b
+    uf = a < b
+    # -2^64 === -EPSILON (mod p)
+    d = d - uf.astype(np.uint64) * _EPS
+    ge = d >= _P
+    return d - ge.astype(np.uint64) * _P
+
+
+def neg(a):
+    z = a == 0
+    return np.where(z, np.uint64(0), _P - a)
+
+
+def mul128(a, b):
+    """Full 64x64 -> 128 product as (lo, hi) uint64 pair."""
+    a0 = a & _U32
+    a1 = a >> _32
+    b0 = b & _U32
+    b1 = b >> _32
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> _32) + (p01 & _U32) + (p10 & _U32)  # <= ~2^33, exact
+    lo = (p00 & _U32) | ((mid & _U32) << _32)
+    hi = p11 + (p01 >> _32) + (p10 >> _32) + (mid >> _32)
+    return lo, hi
+
+
+def reduce128(lo, hi):
+    """Reduce a 128-bit value (lo + hi*2^64) to canonical GF(p).
+
+    Uses 2^64 === 2^32 - 1 and 2^96 === -1 (mod p).
+    """
+    x2 = hi & _U32   # bits 64..95
+    x3 = hi >> _32   # bits 96..127
+    borrow = lo < x3
+    t0 = lo - x3
+    t0 = t0 - borrow.astype(np.uint64) * _EPS
+    t1 = (x2 << _32) - x2
+    t2 = t0 + t1
+    carry = t2 < t1
+    t2 = t2 + carry.astype(np.uint64) * _EPS
+    ge = t2 >= _P
+    return t2 - ge.astype(np.uint64) * _P
+
+
+def mul(a, b):
+    lo, hi = mul128(a, b)
+    return reduce128(lo, hi)
+
+
+def mul_add(a, b, c):
+    return add(mul(a, b), c)
+
+
+def square(a):
+    return mul(a, a)
+
+
+def pow_const(a, e: int):
+    """a**e for a python-int exponent (vectorized over a)."""
+    result = np.ones_like(np.asarray(a, dtype=np.uint64))
+    base = a
+    while e > 0:
+        if e & 1:
+            result = mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    return result
+
+
+def inv(a):
+    """Fermat inverse a^(p-2); inv(0) = 0."""
+    return pow_const(a, P - 2)
+
+
+def exp_u64_scalar(base: int, e: int) -> int:
+    """Scalar modpow on python ints (for roots of unity etc.)."""
+    return pow(base, e, P)
+
+
+def primitive_root_of_unity(n_bits: int) -> int:
+    assert 0 <= n_bits <= TWO_ADICITY
+    g = pow(GENERATOR, (P - 1) >> TWO_ADICITY, P)
+    for _ in range(TWO_ADICITY - n_bits):
+        g = (g * g) % P
+    return g
+
+
+def select(mask, a, b):
+    """mask ? a : b, elementwise (mask is bool array)."""
+    return np.where(mask, a, b)
+
+
+def zeros(shape):
+    return np.zeros(shape, dtype=np.uint64)
+
+
+def full(shape, v: int):
+    return np.full(shape, np.uint64(v % P), dtype=np.uint64)

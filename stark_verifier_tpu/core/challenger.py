@@ -1,0 +1,80 @@
+"""Fiat–Shamir Challenger: width-12 rate-8 overwrite-mode duplex sponge over
+Goldilocks Poseidon, replicating plonky2 `Challenger` semantics exactly.
+
+Key semantics (reference: chip/hasher_chip.rs:49-120):
+  * observing clears the output buffer and lazily buffers inputs;
+  * squeezing first absorbs any buffered inputs in chunks of 8 (overwrite the
+    front of the state, permute per chunk);
+  * challenges are popped from the END of the rate window (state[7], then
+    state[6], ...), refilling with a permutation when empty.
+
+Backend-generic: the element arrays may carry a batch dimension, so one
+Challenger instance replays the transcript for a whole batch of proofs. All
+buffer bookkeeping is static python (fixed by the proof shape), so the JAX
+trace is branch-free.
+"""
+from __future__ import annotations
+
+from ..ops import poseidon_gl as pg
+
+WIDTH = pg.WIDTH
+RATE = pg.RATE
+
+
+class Challenger:
+    def __init__(self, F, shape=()):
+        self.F = F
+        self.shape = shape
+        self.state = [F.zeros(shape) for _ in range(WIDTH)]
+        self.input_buffer = []
+        self.output_buffer = []
+
+    # -------------------------------------------------------------- observe
+    def observe_element(self, e):
+        self.output_buffer = []
+        self.input_buffer.append(e)
+        if len(self.input_buffer) == RATE:
+            self._duplexing()
+
+    def observe_elements(self, elems):
+        for e in elems:
+            self.observe_element(e)
+
+    def observe_extension(self, ext):
+        self.observe_element(ext[0])
+        self.observe_element(ext[1])
+
+    def observe_hash(self, h4):
+        self.observe_elements(h4)
+
+    def observe_cap(self, cap):
+        """cap: list of 4-element digests."""
+        for h in cap:
+            self.observe_hash(h)
+
+    # -------------------------------------------------------------- squeeze
+    def _permute(self):
+        self.state = self.F.unstack(pg.permute(self.F, self.F.stack(self.state)))
+
+    def _duplexing(self):
+        assert len(self.input_buffer) <= RATE
+        for i, e in enumerate(self.input_buffer):
+            self.state[i] = e
+        self.input_buffer = []
+        self._permute()
+        self.output_buffer = list(self.state[:RATE])
+
+    def get_challenge(self):
+        if self.input_buffer:
+            self._duplexing()
+        if not self.output_buffer:
+            self._permute()
+            self.output_buffer = list(self.state[:RATE])
+        return self.output_buffer.pop()
+
+    def get_n_challenges(self, n: int):
+        return [self.get_challenge() for _ in range(n)]
+
+    def get_extension_challenge(self):
+        c = self.get_n_challenges(2)
+        return (c[0], c[1])

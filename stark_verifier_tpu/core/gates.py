@@ -1,0 +1,628 @@
+"""plonky2 custom-gate constraint evaluators, ring-generic.
+
+Each gate evaluates its unfiltered constraints over an abstract ring R
+(core/rings.py): the verifier instantiates R = GF(p^2) at zeta, the prover
+instantiates R = GF(p) vectorized over the LDE domain. This mirrors the
+reference's CustomGateConstrainer registry (reference:
+chip/plonk/gates/mod.rs:48-203) and plonky2's eval_unfiltered_ext/base split.
+
+Wire layouts double as the witness layout used by the prover's builder.
+"""
+from __future__ import annotations
+
+from .rings import (
+    alg_add,
+    alg_from_ring,
+    alg_mul,
+    alg_mul_add,
+    alg_scalar_mul,
+    alg_scalar_mul_add,
+    alg_sub,
+    alg_zero,
+)
+from ..ops._poseidon_gl_constants import (
+    ALL_ROUND_CONSTANTS,
+    FAST_PARTIAL_FIRST_ROUND_CONSTANT,
+    FAST_PARTIAL_ROUND_CONSTANTS,
+    FAST_PARTIAL_ROUND_INITIAL_MATRIX,
+    FAST_PARTIAL_ROUND_VS,
+    FAST_PARTIAL_ROUND_W_HATS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+)
+
+T = 12
+R_F_HALF = 4
+R_P = 22
+
+# Placeholder selector value for "no gate here" (reference: gates/mod.rs:30).
+UNUSED_SELECTOR = (1 << 32) - 1
+
+
+def _alg_wires(local_wires, start):
+    """Two consecutive ext-algebra coefficients -> ((w0, w1)) pair."""
+    return (local_wires[start], local_wires[start + 1])
+
+
+class Gate:
+    id: str = "?"
+    degree: int = 0
+    num_constraints: int = 0
+    num_constants: int = 0  # gate-constant polynomials consumed
+
+    def eval_unfiltered(self, R, local_constants, local_wires, pi_hash):
+        raise NotImplementedError
+
+    def num_wires_used(self) -> int:
+        raise NotImplementedError
+
+    def __repr__(self):
+        return self.id
+
+
+class ArithmeticGate(Gate):
+    """out = c0 * m0 * m1 + c1 * addend, `num_ops` per row
+    (reference: gates/arithmetic.rs)."""
+
+    degree = 3
+    num_constants = 2
+
+    def __init__(self, num_ops=20):
+        self.num_ops = num_ops
+        self.id = f"ArithmeticGate {{ num_ops: {num_ops} }}"
+        self.num_constraints = num_ops
+
+    def wires(self, i):
+        return (4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3)
+
+    def num_wires_used(self):
+        return 4 * self.num_ops
+
+    def eval_unfiltered(self, R, C, W, pi):
+        c0, c1 = C[0], C[1]
+        out = []
+        for i in range(self.num_ops):
+            w0, w1, wa, wo = self.wires(i)
+            computed = R.add(R.mul(R.mul(W[w0], W[w1]), c0), R.mul(W[wa], c1))
+            out.append(R.sub(W[wo], computed))
+        return out
+
+
+class ArithmeticExtensionGate(Gate):
+    """Same op over the D=2 extension algebra
+    (reference: gates/arithmetic_extension.rs)."""
+
+    degree = 3
+    num_constants = 2
+
+    def __init__(self, num_ops=10):
+        self.num_ops = num_ops
+        self.id = f"ArithmeticExtensionGate {{ num_ops: {num_ops} }}"
+        self.num_constraints = 2 * num_ops
+
+    def num_wires_used(self):
+        return 8 * self.num_ops
+
+    def eval_unfiltered(self, R, C, W, pi):
+        c0, c1 = C[0], C[1]
+        out = []
+        for i in range(self.num_ops):
+            b = 8 * i
+            m0 = _alg_wires(W, b)
+            m1 = _alg_wires(W, b + 2)
+            ad = _alg_wires(W, b + 4)
+            o = _alg_wires(W, b + 6)
+            computed = alg_scalar_mul_add(
+                R, c1, ad, alg_scalar_mul(R, c0, alg_mul(R, m0, m1))
+            )
+            d = alg_sub(R, o, computed)
+            out.extend([d[0], d[1]])
+        return out
+
+
+class MulExtensionGate(Gate):
+    """out = c0 * m0 * m1 over the extension algebra
+    (reference: gates/multiplication_extension.rs)."""
+
+    degree = 3
+    num_constants = 1
+
+    def __init__(self, num_ops=13):
+        self.num_ops = num_ops
+        self.id = f"MulExtensionGate {{ num_ops: {num_ops} }}"
+        self.num_constraints = 2 * num_ops
+
+    def num_wires_used(self):
+        return 6 * self.num_ops
+
+    def eval_unfiltered(self, R, C, W, pi):
+        c0 = C[0]
+        out = []
+        for i in range(self.num_ops):
+            b = 6 * i
+            m0 = _alg_wires(W, b)
+            m1 = _alg_wires(W, b + 2)
+            o = _alg_wires(W, b + 4)
+            computed = alg_scalar_mul(R, c0, alg_mul(R, m0, m1))
+            d = alg_sub(R, o, computed)
+            out.extend([d[0], d[1]])
+        return out
+
+
+class BaseSumGate(Gate):
+    """Base-2 decomposition: wire0 = sum of limb wires by powers of two,
+    each limb boolean (reference: gates/base_sum.rs)."""
+
+    degree = 2
+    num_constants = 0
+    WIRE_SUM = 0
+    START_LIMBS = 1
+
+    def __init__(self, num_limbs=63):
+        self.num_limbs = num_limbs
+        self.id = f"BaseSumGate {{ num_limbs: {num_limbs} }} + Base: 2"
+        self.num_constraints = 1 + num_limbs
+
+    def num_wires_used(self):
+        return 1 + self.num_limbs
+
+    def eval_unfiltered(self, R, C, W, pi):
+        base = R.const(2)
+        limbs = [W[self.START_LIMBS + i] for i in range(self.num_limbs)]
+        computed = R.reduce_with_powers(base, limbs)
+        out = [R.sub(computed, W[self.WIRE_SUM])]
+        for limb in limbs:
+            # prod_{i<2} (limb - i) = limb * (limb - 1)
+            out.append(R.mul(limb, R.sub(limb, R.one())))
+        return out
+
+
+class ConstantGate(Gate):
+    """wire_i = const_i (reference: gates/constant.rs)."""
+
+    degree = 1
+
+    def __init__(self, num_consts=2):
+        self.num_consts = num_consts
+        self.num_constants = num_consts
+        self.id = f"ConstantGate {{ num_consts: {num_consts} }}"
+        self.num_constraints = num_consts
+
+    def num_wires_used(self):
+        return self.num_consts
+
+    def eval_unfiltered(self, R, C, W, pi):
+        return [R.sub(C[i], W[i]) for i in range(self.num_consts)]
+
+
+class NoopGate(Gate):
+    degree = 0
+    id = "NoopGate"
+    num_constraints = 0
+
+    def num_wires_used(self):
+        return 0
+
+    def eval_unfiltered(self, R, C, W, pi):
+        return []
+
+
+class PublicInputGate(Gate):
+    """wires 0..4 equal the public-inputs hash
+    (reference: gates/public_input.rs)."""
+
+    degree = 1
+    id = "PublicInputGate"
+    num_constraints = 4
+
+    def num_wires_used(self):
+        return 4
+
+    def eval_unfiltered(self, R, C, W, pi):
+        return [R.sub(W[i], pi[i]) for i in range(4)]
+
+
+class RandomAccessGate(Gate):
+    """Binary-indexed list access (reference: gates/random_access.rs)."""
+
+    def __init__(self, bits, num_copies, num_extra_constants=0):
+        self.bits = bits
+        self.num_copies = num_copies
+        self.num_extra_constants = num_extra_constants
+        self.num_constants = num_extra_constants
+        self.degree = bits + 1
+        self.id = (
+            f"RandomAccessGate {{ bits: {bits}, num_copies: {num_copies}, "
+            f"num_extra_constants: {num_extra_constants}, _phantom: "
+            f"PhantomData<plonky2_field::goldilocks_field::GoldilocksField> }}<D=2>"
+        )
+        self.num_constraints = num_copies * (2 + bits) + num_extra_constants
+
+    def vec_size(self):
+        return 1 << self.bits
+
+    def wire_access_index(self, copy):
+        return (2 + self.vec_size()) * copy
+
+    def wire_claimed_element(self, copy):
+        return (2 + self.vec_size()) * copy + 1
+
+    def wire_list_item(self, i, copy):
+        return (2 + self.vec_size()) * copy + 2 + i
+
+    def start_extra_constants(self):
+        return (2 + self.vec_size()) * self.num_copies
+
+    def wire_extra_constant(self, i):
+        return self.start_extra_constants() + i
+
+    def num_routed_wires_used(self):
+        return self.start_extra_constants() + self.num_extra_constants
+
+    def wire_bit(self, i, copy):
+        return self.num_routed_wires_used() + copy * self.bits + i
+
+    def num_wires_used(self):
+        return self.num_routed_wires_used() + self.num_copies * self.bits
+
+    def eval_unfiltered(self, R, C, W, pi):
+        out = []
+        for copy in range(self.num_copies):
+            access_index = W[self.wire_access_index(copy)]
+            items = [W[self.wire_list_item(i, copy)] for i in range(self.vec_size())]
+            claimed = W[self.wire_claimed_element(copy)]
+            bits = [W[self.wire_bit(i, copy)] for i in range(self.bits)]
+            for b in bits:
+                out.append(R.sub(R.mul(b, b), b))
+            recon = R.reduce_with_powers(R.const(2), bits)
+            out.append(R.sub(recon, access_index))
+            for b in bits:
+                items = [
+                    # select(b, y, x) = b*(y-x) + x
+                    R.mul_add(b, R.sub(items[2 * k + 1], items[2 * k]), items[2 * k])
+                    for k in range(len(items) // 2)
+                ]
+            out.append(R.sub(items[0], claimed))
+        for i in range(self.num_extra_constants):
+            out.append(R.sub(C[i], W[self.wire_extra_constant(i)]))
+        return out
+
+
+class ReducingGate(Gate):
+    """Running Horner accumulator over base-field coefficients
+    (reference: gates/reducing.rs)."""
+
+    degree = 2
+    num_constants = 0
+
+    def __init__(self, num_coeffs=43):
+        self.num_coeffs = num_coeffs
+        self.id = f"ReducingGate {{ num_coeffs: {num_coeffs} }}"
+        self.num_constraints = 2 * num_coeffs
+
+    START_COEFFS = 6
+
+    def wires_output(self):
+        return 0
+
+    def wires_alpha(self):
+        return 2
+
+    def wires_old_acc(self):
+        return 4
+
+    def wire_coeff(self, i):
+        return self.START_COEFFS + i
+
+    def start_accs(self):
+        return self.START_COEFFS + self.num_coeffs
+
+    def wires_acc(self, i):
+        if i == self.num_coeffs - 1:
+            return 0
+        return self.start_accs() + 2 * i
+
+    def num_wires_used(self):
+        return self.start_accs() + 2 * (self.num_coeffs - 1)
+
+    def eval_unfiltered(self, R, C, W, pi):
+        alpha = _alg_wires(W, 2)
+        acc = _alg_wires(W, 4)
+        out = []
+        for i in range(self.num_coeffs):
+            coeff = alg_from_ring(R, W[self.wire_coeff(i)])
+            acc_i = _alg_wires(W, self.wires_acc(i))
+            tmp = alg_sub(R, alg_mul_add(R, acc, alpha, coeff), acc_i)
+            out.extend([tmp[0], tmp[1]])
+            acc = acc_i
+        return out
+
+
+class ReducingExtensionGate(Gate):
+    """Running Horner accumulator over extension coefficients
+    (reference: gates/reducing_extension.rs)."""
+
+    degree = 2
+    num_constants = 0
+
+    def __init__(self, num_coeffs=32):
+        self.num_coeffs = num_coeffs
+        self.id = f"ReducingExtensionGate {{ num_coeffs: {num_coeffs} }}"
+        self.num_constraints = 2 * num_coeffs
+
+    START_COEFFS = 6
+
+    def wire_coeff(self, i):
+        return self.START_COEFFS + 2 * i
+
+    def start_accs(self):
+        return self.START_COEFFS + 2 * self.num_coeffs
+
+    def wires_acc(self, i):
+        if i == self.num_coeffs - 1:
+            return 0
+        return self.start_accs() + 2 * i
+
+    def num_wires_used(self):
+        return self.start_accs() + 2 * (self.num_coeffs - 1)
+
+    def eval_unfiltered(self, R, C, W, pi):
+        alpha = _alg_wires(W, 2)
+        acc = _alg_wires(W, 4)
+        out = []
+        for i in range(self.num_coeffs):
+            coeff = _alg_wires(W, self.wire_coeff(i))
+            acc_i = _alg_wires(W, self.wires_acc(i))
+            tmp = alg_sub(R, alg_mul_add(R, acc, alpha, coeff), acc_i)
+            out.extend([tmp[0], tmp[1]])
+            acc = acc_i
+        return out
+
+
+class PoseidonMdsGate(Gate):
+    """One width-12 MDS multiply over ext-algebra wires
+    (reference: gates/poseidon_mds.rs)."""
+
+    degree = 2
+    num_constants = 0
+    id = (
+        "PoseidonMdsGate(PhantomData<plonky2_field::goldilocks_field::"
+        "GoldilocksField>)<WIDTH=12>"
+    )
+    num_constraints = 2 * T
+
+    def wires_input(self, i):
+        return 2 * i
+
+    def wires_output(self, i):
+        return 2 * (T + i)
+
+    def num_wires_used(self):
+        return 4 * T
+
+    def eval_unfiltered(self, R, C, W, pi):
+        state = [_alg_wires(W, self.wires_input(i)) for i in range(T)]
+        out = []
+        for r in range(T):
+            res = alg_zero(R)
+            for i in range(T):
+                c = R.const(MDS_MATRIX_CIRC[i])
+                res = alg_scalar_mul_add(R, c, state[(i + r) % T], res)
+            res = alg_scalar_mul_add(R, R.const(MDS_MATRIX_DIAG[r]), state[r], res)
+            d = alg_sub(R, _alg_wires(W, self.wires_output(r)), res)
+            out.extend([d[0], d[1]])
+        return out
+
+
+class PoseidonGate(Gate):
+    """Full width-12 Poseidon permutation, in plonky2's fast-partial-round
+    wire layout (reference: gates/poseidon.rs:327-698). 123 constraints."""
+
+    degree = 7
+    num_constants = 0
+    id = (
+        "PoseidonGate(PhantomData<plonky2_field::goldilocks_field::"
+        "GoldilocksField>)<WIDTH=12>"
+    )
+    num_constraints = 123
+
+    WIRE_SWAP = 2 * T
+    START_DELTA = 2 * T + 1
+    START_FULL_0 = START_DELTA + 4
+    START_PARTIAL = START_FULL_0 + T * (R_F_HALF - 1)
+    START_FULL_1 = START_PARTIAL + R_P
+
+    def wire_input(self, i):
+        return i
+
+    def wire_output(self, i):
+        return T + i
+
+    def wire_delta(self, i):
+        return self.START_DELTA + i
+
+    def wire_full_sbox_0(self, round, i):
+        assert round != 0
+        return self.START_FULL_0 + T * (round - 1) + i
+
+    def wire_partial_sbox(self, round):
+        return self.START_PARTIAL + round
+
+    def wire_full_sbox_1(self, round, i):
+        return self.START_FULL_1 + T * round + i
+
+    def num_wires_used(self):
+        return self.START_FULL_1 + T * R_F_HALF  # = 135
+
+    @staticmethod
+    def _sbox(R, x):
+        x2 = R.square(x)
+        x3 = R.mul(x2, x)
+        x4 = R.square(x2)
+        return R.mul(x3, x4)
+
+    def _mds_row(self, R, state, r):
+        res = R.zero()
+        for i in range(T):
+            res = R.mul_add(R.const(MDS_MATRIX_CIRC[i]), state[(i + r) % T], res)
+        return R.mul_add(R.const(MDS_MATRIX_DIAG[r]), state[r], res)
+
+    def _mds_layer(self, R, state):
+        return [self._mds_row(R, state, r) for r in range(T)]
+
+    def _constant_layer(self, R, state, round_ctr):
+        return [
+            R.add(s, R.const(ALL_ROUND_CONSTANTS[i + T * round_ctr]))
+            for i, s in enumerate(state)
+        ]
+
+    def _partial_first_constant_layer(self, R, state):
+        return [
+            R.add(s, R.const(FAST_PARTIAL_FIRST_ROUND_CONSTANT[i]))
+            for i, s in enumerate(state)
+        ]
+
+    def _mds_partial_layer_init(self, R, state):
+        result = [R.zero() for _ in range(T)]
+        result[0] = state[0]
+        for r in range(1, T):
+            for c in range(1, T):
+                t = R.const(FAST_PARTIAL_ROUND_INITIAL_MATRIX[(r - 1) * (T - 1) + (c - 1)])
+                result[c] = R.mul_add(t, state[r], result[c])
+        return result
+
+    def _mds_partial_layer_fast(self, R, state, r):
+        d = R.mul(R.const(MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]), state[0])
+        for i in range(1, T):
+            t = R.const(FAST_PARTIAL_ROUND_W_HATS[r * (T - 1) + (i - 1)])
+            d = R.mul_add(t, state[i], d)
+        result = [R.zero() for _ in range(T)]
+        result[0] = d
+        for i in range(1, T):
+            t = R.const(FAST_PARTIAL_ROUND_VS[r * (T - 1) + (i - 1)])
+            result[i] = R.mul_add(t, state[0], state[i])
+        return result
+
+    def eval_unfiltered(self, R, C, W, pi):
+        out = []
+        swap = W[self.WIRE_SWAP]
+        out.append(R.sub(R.mul(swap, swap), swap))
+        for i in range(4):
+            diff = R.sub(W[self.wire_input(i + 4)], W[self.wire_input(i)])
+            out.append(R.sub(R.mul(swap, diff), W[self.wire_delta(i)]))
+
+        state = [None] * T
+        for i in range(4):
+            state[i] = R.add(W[self.wire_input(i)], W[self.wire_delta(i)])
+            state[i + 4] = R.sub(W[self.wire_input(i + 4)], W[self.wire_delta(i)])
+        for i in range(8, T):
+            state[i] = W[self.wire_input(i)]
+
+        round_ctr = 0
+        for r in range(R_F_HALF):
+            state = self._constant_layer(R, state, round_ctr)
+            if r != 0:
+                for i in range(T):
+                    sbox_in = W[self.wire_full_sbox_0(r, i)]
+                    out.append(R.sub(state[i], sbox_in))
+                    state[i] = sbox_in
+            state = [self._sbox(R, s) for s in state]
+            state = self._mds_layer(R, state)
+            round_ctr += 1
+
+        state = self._partial_first_constant_layer(R, state)
+        state = self._mds_partial_layer_init(R, state)
+        for r in range(R_P - 1):
+            sbox_in = W[self.wire_partial_sbox(r)]
+            out.append(R.sub(state[0], sbox_in))
+            state[0] = self._sbox(R, sbox_in)
+            state[0] = R.add(state[0], R.const(FAST_PARTIAL_ROUND_CONSTANTS[r]))
+            state = self._mds_partial_layer_fast(R, state, r)
+        sbox_in = W[self.wire_partial_sbox(R_P - 1)]
+        out.append(R.sub(state[0], sbox_in))
+        state[0] = self._sbox(R, sbox_in)
+        state = self._mds_partial_layer_fast(R, state, R_P - 1)
+        round_ctr += R_P
+
+        for r in range(R_F_HALF):
+            state = self._constant_layer(R, state, round_ctr)
+            for i in range(T):
+                sbox_in = W[self.wire_full_sbox_1(r, i)]
+                out.append(R.sub(state[i], sbox_in))
+                state[i] = sbox_in
+            state = [self._sbox(R, s) for s in state]
+            state = self._mds_layer(R, state)
+            round_ctr += 1
+
+        for i in range(T):
+            out.append(R.sub(state[i], W[self.wire_output(i)]))
+        return out
+
+
+# ------------------------------------------------------------------ registry
+def gate_from_id(gate_id: str) -> Gate:
+    """Instantiate a gate from its plonky2 id string (reference:
+    gates/mod.rs:138-203, extended to parameterized variants)."""
+    import re
+
+    s = gate_id.strip()
+    if s == "PublicInputGate":
+        return PublicInputGate()
+    if s == "NoopGate":
+        return NoopGate()
+    m = re.match(r"ArithmeticGate \{ num_ops: (\d+) \}$", s)
+    if m:
+        return ArithmeticGate(int(m.group(1)))
+    m = re.match(r"ArithmeticExtensionGate \{ num_ops: (\d+) \}$", s)
+    if m:
+        return ArithmeticExtensionGate(int(m.group(1)))
+    m = re.match(r"MulExtensionGate \{ num_ops: (\d+) \}$", s)
+    if m:
+        return MulExtensionGate(int(m.group(1)))
+    m = re.match(r"ConstantGate \{ num_consts: (\d+) \}$", s)
+    if m:
+        return ConstantGate(int(m.group(1)))
+    m = re.match(r"BaseSumGate \{ num_limbs: (\d+) \} \+ Base: 2$", s)
+    if m:
+        return BaseSumGate(int(m.group(1)))
+    m = re.match(r"ReducingGate \{ num_coeffs: (\d+) \}$", s)
+    if m:
+        return ReducingGate(int(m.group(1)))
+    m = re.match(r"ReducingExtensionGate \{ num_coeffs: (\d+) \}$", s)
+    if m:
+        return ReducingExtensionGate(int(m.group(1)))
+    if s.startswith("PoseidonGate"):
+        return PoseidonGate()
+    if s.startswith("PoseidonMdsGate"):
+        return PoseidonMdsGate()
+    m = re.match(
+        r"RandomAccessGate \{ bits: (\d+), num_copies: (\d+), "
+        r"num_extra_constants: (\d+), .*$",
+        s,
+    )
+    if m:
+        return RandomAccessGate(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    raise ValueError(f"unknown gate id: {gate_id}")
+
+
+def eval_filtered(R, gate, selector_index, group, num_selectors, row,
+                  local_constants, local_wires, pi_hash, combined):
+    """filter = prod_{k in group, k != row} (k - f(zeta)) [* (UNUSED - f)]
+    then combined[j] += filter * constraint_j
+    (reference: gates/mod.rs:87-132)."""
+    f = local_constants[selector_index]
+    ks = [k for k in group if k != row]
+    if num_selectors > 1:
+        ks.append(UNUSED_SELECTOR)
+    filt = None
+    for k in ks:
+        term = R.sub(R.const(k), f)
+        filt = term if filt is None else R.mul(filt, term)
+    if filt is None:
+        filt = R.one()
+    constraints = gate.eval_unfiltered(
+        R, local_constants[num_selectors:], local_wires, pi_hash
+    )
+    for j, c in enumerate(constraints):
+        combined[j] = R.mul_add(filt, c, combined[j])
+    return combined

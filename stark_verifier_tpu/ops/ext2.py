@@ -1,0 +1,134 @@
+"""Quadratic extension GF(p^2) = GF(p)[x] / (x^2 - 7).
+
+Backend-generic: every function takes the base-field backend module `F`
+(`gl64_np` or `gl64_jax`) as its first argument; extension elements are
+2-tuples ``(c0, c1)`` of backend elements, value = c0 + c1*x.
+
+Mirrors the reference's GoldilocksExtensionChip semantics (reference:
+chip/goldilocks_extension_chip.rs:49-51 w = 7; :56-106 mul/div).
+"""
+from __future__ import annotations
+
+W = 7  # x^2 = 7
+
+
+def ext(c0, c1):
+    return (c0, c1)
+
+
+def zero(F, shape=()):
+    return (F.zeros(shape), F.zeros(shape))
+
+
+def one(F, shape=()):
+    return (F.ones(shape), F.zeros(shape))
+
+
+def const(F, c0: int, c1: int = 0, shape=()):
+    return (F.const(c0, shape), F.const(c1, shape))
+
+
+def from_base(F, a):
+    return (a, F.zeros(getattr(a, "shape", ())))
+
+
+def add(F, a, b):
+    return (F.add(a[0], b[0]), F.add(a[1], b[1]))
+
+
+def sub(F, a, b):
+    return (F.sub(a[0], b[0]), F.sub(a[1], b[1]))
+
+
+def neg(F, a):
+    return (F.neg(a[0]), F.neg(a[1]))
+
+
+def mul(F, a, b):
+    # (a0 + a1 x)(b0 + b1 x) = a0 b0 + 7 a1 b1 + (a0 b1 + a1 b0) x
+    a0b0 = F.mul(a[0], b[0])
+    a1b1 = F.mul(a[1], b[1])
+    w = F.const(W)
+    c0 = F.add(a0b0, F.mul(w, a1b1))
+    c1 = F.add(F.mul(a[0], b[1]), F.mul(a[1], b[0]))
+    return (c0, c1)
+
+
+def mul_add(F, a, b, c):
+    return add(F, mul(F, a, b), c)
+
+
+def mul_sub(F, a, b, c):
+    return sub(F, mul(F, a, b), c)
+
+
+def square(F, a):
+    return mul(F, a, a)
+
+
+def scalar_mul(F, a, s):
+    """a * s with s a base-field element."""
+    return (F.mul(a[0], s), F.mul(a[1], s))
+
+
+def inv(F, a):
+    # conj = a0 - a1 x; norm = a0^2 - 7 a1^2 (base field); a^-1 = conj/norm
+    a0sq = F.mul(a[0], a[0])
+    a1sq = F.mul(a[1], a[1])
+    norm = F.sub(a0sq, F.mul(F.const(W), a1sq))
+    ninv = F.inv(norm)
+    return (F.mul(a[0], ninv), F.neg(F.mul(a[1], ninv)))
+
+
+def div(F, a, b):
+    return mul(F, a, inv(F, b))
+
+
+def pow_const(F, a, e: int, shape=()):
+    result = one(F, shape)
+    base = a
+    first = True
+    while e > 0:
+        if e & 1:
+            result = base if first else mul(F, result, base)
+            first = False
+        e >>= 1
+        if e:
+            base = square(F, base)
+    return result if not first else one(F, shape)
+
+
+def exp_power_of_2(F, a, power_log: int):
+    for _ in range(power_log):
+        a = square(F, a)
+    return a
+
+
+def select(F, mask, a, b):
+    return (F.select(mask, a[0], b[0]), F.select(mask, a[1], b[1]))
+
+
+def equal(F, a, b):
+    return F.equal(a[0], b[0]) & F.equal(a[1], b[1])
+
+
+def reduce_with_powers(F, base, terms):
+    """Horner: sum_i terms[i] * base^i (terms[0] lowest), all extension.
+
+    Matches reference reduce_extension (chip/goldilocks_extension_chip.rs:331).
+    """
+    acc = zero(F)
+    for t in reversed(terms):
+        acc = add(F, mul(F, acc, base), t)
+    return acc
+
+
+def reduce_base_terms(F, base, terms):
+    """Horner over base-field terms with an extension base."""
+    return reduce_with_powers(F, base, [from_base(F, t) for t in terms])
+
+
+def to_u64(F, a):
+    import numpy as np
+
+    return np.stack([F.to_u64(a[0]), F.to_u64(a[1])], axis=-1)

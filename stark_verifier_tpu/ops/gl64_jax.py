@@ -267,3 +267,97 @@ def mod_pow2(a: GF, bits: int) -> jnp.ndarray:
     if bits == 32:
         return a.lo
     return a.lo & np.uint32((1 << bits) - 1)
+
+
+def unstack(a: GF):
+    return [GF(a.lo[i], a.hi[i]) for i in range(a.lo.shape[0])]
+
+
+def _mds12_matrix():
+    from ._poseidon_gl_constants import MDS_MATRIX_CIRC, MDS_MATRIX_DIAG
+
+    m = np.zeros((12, 12), dtype=np.uint32)
+    for r in range(12):
+        for j in range(12):
+            m[r, j] = MDS_MATRIX_CIRC[(j - r) % 12]
+        m[r, r] += MDS_MATRIX_DIAG[r]
+    return m
+
+
+_MDS12 = _mds12_matrix()
+
+
+def mds12(state: GF) -> GF:
+    """Poseidon width-12 MDS multiply on stacked state (leading dim 12).
+
+    MDS entries are <= 49 (6 bits): split each element into four exact 16-bit
+    limbs, take integer limb x matrix products on uint32 lanes (column sums
+    < 2^26, no overflow), renormalize, and reduce mod p once per output.
+    """
+    m = jnp.asarray(_MDS12)
+    limbs = jnp.stack(
+        [
+            state.lo & _LO16,
+            state.lo >> _16,
+            state.hi & _LO16,
+            state.hi >> _16,
+        ]
+    )  # [4, 12, ...]
+    cols = jnp.einsum("rj,kj...->kr...", m, limbs)  # exact in uint32
+    c0, c1, c2, c3 = cols[0], cols[1], cols[2], cols[3]
+    # value = c0 + c1*2^16 + c2*2^32 + c3*2^48, each c < 2^26
+    t01 = (c0 >> _16) + c1                    # < 2^27
+    x0 = (c0 & _LO16) | ((t01 & _LO16) << _16)
+    t2 = (t01 >> _16) + c2                    # < 2^27
+    t3 = (t2 >> _16) + c3                     # < 2^27
+    x1 = (t2 & _LO16) | ((t3 & _LO16) << _16)
+    x2 = t3 >> _16                            # < 2^11
+    return reduce128(x0, x1, x2, _0 * x2)
+
+
+# ------------------------------------------------- scan-based Poseidon core
+# A compact-trace Poseidon permutation: three lax.scans (full/partial/full)
+# whose bodies are traced once, keeping the XLA graph small even though the
+# transcript replays hundreds of sequential permutations.
+def _rc_table():
+    from ._poseidon_gl_constants import ALL_ROUND_CONSTANTS
+
+    rc = np.asarray(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, 12)
+    return (
+        jnp.asarray(rc & np.uint64(0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.asarray(rc >> np.uint64(32), dtype=jnp.uint32),
+    )
+
+
+def _sbox7(x: GF) -> GF:
+    x2 = mul(x, x)
+    x3 = mul(x2, x)
+    x4 = mul(x2, x2)
+    return mul(x3, x4)
+
+
+def permute12(state: GF) -> GF:
+    """Poseidon permutation on stacked state GF[12, ...] via lax.scan."""
+    import jax
+
+    rc_lo, rc_hi = _rc_table()
+    extra = (1,) * (state.lo.ndim - 1)
+
+    def add_rc(s: GF, rc_l, rc_h) -> GF:
+        return add(s, GF(rc_l.reshape((12,) + extra), rc_h.reshape((12,) + extra)))
+
+    def full_round(s, rc):
+        s = add_rc(s, rc[0], rc[1])
+        s = _sbox7(s)
+        return mds12(s), None
+
+    def partial_round(s, rc):
+        s = add_rc(s, rc[0], rc[1])
+        lane0 = _sbox7(GF(s.lo[0], s.hi[0]))
+        s = GF(s.lo.at[0].set(lane0.lo), s.hi.at[0].set(lane0.hi))
+        return mds12(s), None
+
+    state, _ = jax.lax.scan(full_round, state, (rc_lo[:4], rc_hi[:4]))
+    state, _ = jax.lax.scan(partial_round, state, (rc_lo[4:26], rc_hi[4:26]))
+    state, _ = jax.lax.scan(full_round, state, (rc_lo[26:], rc_hi[26:]))
+    return state

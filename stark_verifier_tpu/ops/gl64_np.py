@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# uint64 wraparound is intentional throughout (carry-free modular tricks)
+np.seterr(over="ignore")
+
 P = 0xFFFFFFFF00000001
 EPSILON = 0xFFFFFFFF  # 2^64 mod p
 _P = np.uint64(P)
@@ -147,3 +150,95 @@ def zeros(shape):
 
 def full(shape, v: int):
     return np.full(shape, np.uint64(v % P), dtype=np.uint64)
+
+
+# ------------------------------------------------------------ backend parity
+# (uniform API shared with gl64_jax so protocol code is backend-generic)
+def const(v: int, shape=()):
+    return np.full(shape, np.uint64(v % P), dtype=np.uint64)
+
+
+def ones(shape=()):
+    return np.ones(shape, dtype=np.uint64)
+
+
+def from_u64(x):
+    return np.asarray(x, dtype=np.uint64)
+
+
+def to_u64(x):
+    return np.asarray(x, dtype=np.uint64)
+
+
+def is_zero(a):
+    return a == 0
+
+
+def equal(a, b):
+    return a == b
+
+
+def stack(elems, axis=0):
+    return np.stack(elems, axis=axis)
+
+
+def concat(elems, axis=0):
+    return np.concatenate(elems, axis=axis)
+
+
+def take(a, idx, axis=0):
+    return np.take(a, idx, axis=axis)
+
+
+def dynamic_index(a, idx):
+    return np.take(a, idx, axis=0)
+
+
+def reshape(a, shape):
+    return np.reshape(a, shape)
+
+
+def bit(a, i: int):
+    return (a >> np.uint64(i)) & np.uint64(1)
+
+
+def mod_pow2(a, bits: int):
+    return (a & np.uint64((1 << bits) - 1)).astype(np.uint32)
+
+
+def unstack(a):
+    return [a[i] for i in range(a.shape[0])]
+
+
+def _mds12_matrix():
+    from ._poseidon_gl_constants import MDS_MATRIX_CIRC, MDS_MATRIX_DIAG
+
+    m = np.zeros((12, 12), dtype=np.uint64)
+    for r in range(12):
+        for j in range(12):
+            m[r, j] = MDS_MATRIX_CIRC[(j - r) % 12]
+        m[r, r] += MDS_MATRIX_DIAG[r]
+    return m
+
+
+_MDS12 = None
+
+
+def mds12(state):
+    """Poseidon width-12 MDS multiply on stacked state [12, ...].
+
+    Entries of the MDS matrix are tiny (<=49) so we accumulate exact 32-bit
+    limb columns and reduce once per output element.
+    """
+    global _MDS12
+    if _MDS12 is None:
+        _MDS12 = _mds12_matrix()
+    m = _MDS12
+    lo = state & np.uint64(0xFFFFFFFF)
+    hi = state >> np.uint64(32)
+    col0 = np.einsum("rj,j...->r...", m, lo)   # < 2^38 * 12 < 2^42
+    col1 = np.einsum("rj,j...->r...", m, hi)
+    t = (col0 >> np.uint64(32)) + col1         # < 2^43
+    lo128 = (col0 & np.uint64(0xFFFFFFFF)) | ((t & np.uint64(0xFFFFFFFF)) << np.uint64(32))
+    hi128 = t >> np.uint64(32)                 # < 2^11
+    return reduce128(lo128, hi128)

@@ -37,6 +37,19 @@ class Challenger:
             self._duplexing()
 
     def observe_elements(self, elems):
+        elems = list(elems)
+        # JAX fast path: absorb runs of full rate-8 chunks with one lax.scan
+        if getattr(self.F, "IS_JAX", False) and len(elems) >= 24:
+            # align: fill the current partial buffer first
+            while self.input_buffer and elems:
+                self.observe_element(elems.pop(0))
+            n_full = len(elems) // RATE
+            if n_full >= 2:
+                self.output_buffer = []
+                chunks = [elems[i * RATE : (i + 1) * RATE] for i in range(n_full)]
+                self.state = pg.absorb_chunks_scan(self.F, self.state, chunks)
+                self.output_buffer = list(self.state[:RATE])
+                elems = elems[n_full * RATE :]
         for e in elems:
             self.observe_element(e)
 
@@ -49,8 +62,7 @@ class Challenger:
 
     def observe_cap(self, cap):
         """cap: list of 4-element digests."""
-        for h in cap:
-            self.observe_hash(h)
+        self.observe_elements([e for h in cap for e in h])
 
     # -------------------------------------------------------------- squeeze
     def _permute(self):

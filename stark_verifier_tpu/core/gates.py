@@ -504,6 +504,8 @@ class PoseidonGate(Gate):
         return result
 
     def eval_unfiltered(self, R, C, W, pi):
+        if _is_jax_ext_ring(R):
+            return _poseidon_eval_vectorized(self, R, W)
         out = []
         swap = W[self.WIRE_SWAP]
         out.append(R.sub(R.mul(swap, swap), swap))
@@ -626,3 +628,281 @@ def eval_filtered(R, gate, selector_index, group, num_selectors, row,
     for j, c in enumerate(constraints):
         combined[j] = R.mul_add(filt, c, combined[j])
     return combined
+
+
+def poseidon_witness_fill(F, inputs, swap):
+    """Compute all PoseidonGate wire values (numpy backend) for given inputs.
+
+    Runs the identical fast-partial-round schedule as eval_unfiltered but
+    records the intermediate S-box inputs instead of constraining them.
+    Returns (wires: dict wire_index -> value, outputs: list of 12).
+    """
+    from .rings import BaseRing
+
+    g = PoseidonGate()
+    shape = getattr(inputs[0], "shape", ())
+    R = BaseRing(F, shape)
+    wires = {}
+    for i in range(T):
+        wires[g.wire_input(i)] = inputs[i]
+    wires[g.WIRE_SWAP] = swap
+
+    deltas = []
+    for i in range(4):
+        d = F.mul(swap, F.sub(inputs[i + 4], inputs[i]))
+        wires[g.wire_delta(i)] = d
+        deltas.append(d)
+
+    state = [None] * T
+    for i in range(4):
+        state[i] = F.add(inputs[i], deltas[i])
+        state[i + 4] = F.sub(inputs[i + 4], deltas[i])
+    for i in range(8, T):
+        state[i] = inputs[i]
+
+    round_ctr = 0
+    for r in range(R_F_HALF):
+        state = g._constant_layer(R, state, round_ctr)
+        if r != 0:
+            for i in range(T):
+                wires[g.wire_full_sbox_0(r, i)] = state[i]
+        state = [g._sbox(R, s) for s in state]
+        state = g._mds_layer(R, state)
+        round_ctr += 1
+
+    state = g._partial_first_constant_layer(R, state)
+    state = g._mds_partial_layer_init(R, state)
+    for r in range(R_P - 1):
+        wires[g.wire_partial_sbox(r)] = state[0]
+        state[0] = g._sbox(R, state[0])
+        state[0] = R.add(state[0], R.const(FAST_PARTIAL_ROUND_CONSTANTS[r]))
+        state = g._mds_partial_layer_fast(R, state, r)
+    wires[g.wire_partial_sbox(R_P - 1)] = state[0]
+    state[0] = g._sbox(R, state[0])
+    state = g._mds_partial_layer_fast(R, state, R_P - 1)
+    round_ctr += R_P
+
+    for r in range(R_F_HALF):
+        state = g._constant_layer(R, state, round_ctr)
+        for i in range(T):
+            wires[g.wire_full_sbox_1(r, i)] = state[i]
+        state = [g._sbox(R, s) for s in state]
+        state = g._mds_layer(R, state)
+        round_ctr += 1
+
+    for i in range(T):
+        wires[g.wire_output(i)] = state[i]
+    return wires, state
+
+
+# ------------------------------------------------ vectorized Poseidon eval
+def _is_jax_ext_ring(R):
+    from .rings import ExtRing
+
+    return isinstance(R, ExtRing) and getattr(R.F, "IS_JAX", False)
+
+
+def _se_stack(F, ext_list):
+    """list of (c0, c1) -> stacked ext pair (GF[k,...], GF[k,...])."""
+    import jax.numpy as jnp
+
+    shape = jnp.broadcast_shapes(*[e[0].shape for e in ext_list])
+    z = F.zeros(shape)
+    return (
+        F.stack([F.add(e[0], z) for e in ext_list]),
+        F.stack([F.add(e[1], z) for e in ext_list]),
+    )
+
+
+def _se_unstack(F, se):
+    return list(zip(F.unstack(se[0]), F.unstack(se[1])))
+
+
+def _se_const_u64(F, vals, ndim_extra):
+    """u64 vector constants -> GF [k] broadcast over trailing dims."""
+    import numpy as np
+
+    arr = np.asarray(vals, dtype=np.uint64).reshape((len(vals),) + (1,) * ndim_extra)
+    return F.from_u64(arr)
+
+
+def _poseidon_eval_vectorized(gate, R, W):
+    """PoseidonGate constraints with lanes stacked into GF arrays and round
+    loops as lax.scans — identical math to eval_unfiltered, compact trace."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import ext2
+    from ..ops.gl64_jax import GF
+
+    F = R.F
+    out_scalar = []
+
+    swap = W[gate.WIRE_SWAP]
+    out_scalar.append(R.sub(R.mul(swap, swap), swap))
+    for i in range(4):
+        diff = R.sub(W[gate.wire_input(i + 4)], W[gate.wire_input(i)])
+        out_scalar.append(R.sub(R.mul(swap, diff), W[gate.wire_delta(i)]))
+
+    state_list = [None] * T
+    for i in range(4):
+        state_list[i] = R.add(W[gate.wire_input(i)], W[gate.wire_delta(i)])
+        state_list[i + 4] = R.sub(W[gate.wire_input(i + 4)], W[gate.wire_delta(i)])
+    for i in range(8, T):
+        state_list[i] = W[gate.wire_input(i)]
+
+    se = _se_stack(F, state_list)  # stacked ext: pair of GF [12, ...]
+    nd = se[0].lo.ndim - 1
+    shape = se[0].lo.shape[1:]
+
+    def cvec(vals, width):
+        return F.from_u64(np.asarray(vals, np.uint64).reshape((width,) + (1,) * nd))
+
+    def sbox_all(x):
+        x2 = ext2.mul(F, x, x)
+        x3 = ext2.mul(F, x2, x)
+        return ext2.mul(F, x3, ext2.mul(F, x2, x2))
+
+    def mds_full(x):
+        return (F.mds12(x[0]), F.mds12(x[1]))
+
+    rc = np.asarray(ALL_ROUND_CONSTANTS, np.uint64).reshape(30, T)
+
+    def full_rounds_scan(se, rounds, wire_rows, rcs):
+        """rounds with sbox-input wire records; emits [k, 12, ...] diffs."""
+        wires0 = _se_stack(F, [w for row in wire_rows for w in row])
+        k = len(wire_rows)
+        wires = (
+            GF(wires0[0].lo.reshape((k, T) + shape), wires0[0].hi.reshape((k, T) + shape)),
+            GF(wires0[1].lo.reshape((k, T) + shape), wires0[1].hi.reshape((k, T) + shape)),
+        )
+        rcs_gf = F.from_u64(np.asarray(rcs, np.uint64).reshape((k, T) + (1,) * nd))
+
+        def body(st, xs):
+            w0, w1, rcv = xs
+            st = (F.add(st[0], rcv), st[1])
+            d = ext2.sub(F, st, (w0, w1))
+            st = (w0, w1)
+            st = sbox_all(st)
+            st = mds_full(st)
+            return st, d
+
+        st, diffs = jax.lax.scan(body, se, (wires[0], wires[1], rcs_gf))
+        return st, diffs
+
+    # ---- first full rounds: round 0 unrolled (no wires), rounds 1..3 scanned
+    se = (F.add(se[0], cvec(rc[0], T)), se[1])
+    se = sbox_all(se)
+    se = mds_full(se)
+    wire_rows = [[W[gate.wire_full_sbox_0(r, i)] for i in range(T)] for r in range(1, R_F_HALF)]
+    se, diffs = full_rounds_scan(se, R_F_HALF - 1, wire_rows, rc[1:R_F_HALF])
+    out_scalar.extend(_se_unstack_2d(F, diffs))
+
+    # ---- partial rounds
+    se = (F.add(se[0], cvec(FAST_PARTIAL_FIRST_ROUND_CONSTANT, T)), se[1])
+    M = np.asarray(FAST_PARTIAL_ROUND_INITIAL_MATRIX, np.uint64).reshape(T - 1, T - 1)
+    Mg = F.from_u64(M.reshape((T - 1, T - 1) + (1,) * nd))
+    tail = (GF(se[0].lo[1:, None], se[0].hi[1:, None]), GF(se[1].lo[1:, None], se[1].hi[1:, None]))
+    cols = (F.sum_axis0(F.mul(Mg, tail[0])), F.sum_axis0(F.mul(Mg, tail[1])))
+    se = (
+        GF(jnp.concatenate([se[0].lo[:1], cols[0].lo]), jnp.concatenate([se[0].hi[:1], cols[0].hi])),
+        GF(jnp.concatenate([se[1].lo[:1], cols[1].lo]), jnp.concatenate([se[1].hi[:1], cols[1].hi])),
+    )
+
+    WHATS = np.asarray(FAST_PARTIAL_ROUND_W_HATS, np.uint64).reshape(R_P, T - 1)
+    VS = np.asarray(FAST_PARTIAL_ROUND_VS, np.uint64).reshape(R_P, T - 1)
+    # FAST_PARTIAL_ROUND_CONSTANTS[R_P-1] == 0, so adding it every round is
+    # identical to the reference's skip-on-last-round schedule.
+    PRC = np.asarray(FAST_PARTIAL_ROUND_CONSTANTS, np.uint64)
+    assert PRC[R_P - 1] == 0
+    pw = _se_stack(F, [W[gate.wire_partial_sbox(r)] for r in range(R_P)])
+    whats_gf = F.from_u64(WHATS.reshape((R_P, T - 1) + (1,) * nd))
+    vs_gf = F.from_u64(VS.reshape((R_P, T - 1) + (1,) * nd))
+    prc_gf = F.from_u64(PRC.reshape((R_P,) + (1,) * nd))
+    mds0to0 = MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]
+
+    def partial_body(st, xs):
+        w0, w1, wh, vsv, c = xs
+        s0 = (GF(st[0].lo[0], st[0].hi[0]), GF(st[1].lo[0], st[1].hi[0]))
+        d = ext2.sub(F, s0, (w0, w1))
+        s0 = (w0, w1)
+        x2 = ext2.mul(F, s0, s0)
+        x3 = ext2.mul(F, x2, s0)
+        s0 = ext2.mul(F, x3, ext2.mul(F, x2, x2))
+        s0 = (F.add(s0[0], c), s0[1])
+        tl = (GF(st[0].lo[1:], st[0].hi[1:]), GF(st[1].lo[1:], st[1].hi[1:]))
+        d0 = F.add(F.mul(F.const(mds0to0), s0[0]), F.sum_axis0(F.mul(wh, tl[0])))
+        d1 = F.add(F.mul(F.const(mds0to0), s0[1]), F.sum_axis0(F.mul(wh, tl[1])))
+        r0 = F.add(F.mul(vsv, s0[0]), tl[0])
+        r1 = F.add(F.mul(vsv, s0[1]), tl[1])
+        st = (
+            GF(jnp.concatenate([d0.lo[None], r0.lo]), jnp.concatenate([d0.hi[None], r0.hi])),
+            GF(jnp.concatenate([d1.lo[None], r1.lo]), jnp.concatenate([d1.hi[None], r1.hi])),
+        )
+        return st, d
+
+    se, pdiffs = jax.lax.scan(
+        partial_body, se, (pw[0], pw[1], whats_gf, vs_gf, prc_gf)
+    )
+    out_scalar.extend(_se_unstack_1d(F, pdiffs))
+
+    # ---- second full rounds (all scanned)
+    wire_rows = [[W[gate.wire_full_sbox_1(r, i)] for i in range(T)] for r in range(R_F_HALF)]
+    se, diffs = full_rounds_scan(se, R_F_HALF, wire_rows, rc[R_F_HALF + R_P :])
+    out_scalar.extend(_se_unstack_2d(F, diffs))
+
+    outs = _se_stack(F, [W[gate.wire_output(i)] for i in range(T)])
+    out_scalar.extend(_se_unstack(F, ext2.sub(F, se, outs)))
+    return out_scalar
+
+
+def _se_unstack_1d(F, se):
+    from ..ops.gl64_jax import GF
+
+    k = se[0].lo.shape[0]
+    return [
+        (GF(se[0].lo[i], se[0].hi[i]), GF(se[1].lo[i], se[1].hi[i]))
+        for i in range(k)
+    ]
+
+
+def _se_unstack_2d(F, se):
+    from ..ops.gl64_jax import GF
+
+    k, t = se[0].lo.shape[:2]
+    return [
+        (GF(se[0].lo[i, j], se[0].hi[i, j]), GF(se[1].lo[i, j], se[1].hi[i, j]))
+        for i in range(k)
+        for j in range(t)
+    ]
+
+
+def _gf_rows(F, a, lo, hi):
+    from ..ops.gl64_jax import GF
+
+    return GF(a.lo[lo:hi], a.hi[lo:hi])
+
+
+def _reshape_ins(F, a, lo, hi):
+    """rows lo:hi with an inserted broadcast axis after axis0: [k,1,...]."""
+    from ..ops.gl64_jax import GF
+
+    return GF(a.lo[lo:hi, None], a.hi[lo:hi, None])
+
+
+def _bcast_row(F, x, k):
+    """scalar GF -> broadcast against leading axis k (implicit)."""
+    return x
+
+
+def _concat_row(F, head, tail):
+    """GF scalar + GF [k,...] -> GF [k+1,...]."""
+    import jax.numpy as jnp
+
+    from ..ops.gl64_jax import GF
+
+    return GF(
+        jnp.concatenate([head.lo[None], tail.lo], axis=0),
+        jnp.concatenate([head.hi[None], tail.hi], axis=0),
+    )

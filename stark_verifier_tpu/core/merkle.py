@@ -1,5 +1,5 @@
-"""Merkle trees with caps (plonky2 layout) — prover-side build (numpy) and
-backend-generic path verification.
+"""Merkle trees with caps (plonky2 layout) — prover-side build (numpy, with
+arbitrary leading batch dims) and backend-generic path verification.
 
 Digest = 4 Goldilocks elements. Leaf hashing is `hash_or_noop`, inner nodes
 are the 8->4 Poseidon compression (reference: chip/merkle_proof_chip.rs:39-87).
@@ -16,49 +16,83 @@ from ..utils.bits import log2_strict
 class MerkleTree:
     """Prover-side Merkle tree over numpy leaves.
 
-    leaves: uint64 array [n, leaf_len] (n a power of two).
+    leaves: uint64 array [..., n, leaf_len] (n a power of two; leading dims
+    are independent batch trees).
     cap_height h: the top h levels are cut off; the cap is the 2^h roots.
     """
 
     def __init__(self, leaves: np.ndarray, cap_height: int = 0):
-        n, _ = leaves.shape
+        n = leaves.shape[-2]
         bits = log2_strict(n)
         assert cap_height <= bits
+        self.batch_shape = leaves.shape[:-2]
         self.leaves = leaves
         self.cap_height = cap_height
         self.depth = bits - cap_height
 
-        level = self._hash_leaves(leaves)  # [n, 4]
+        level = self._hash_leaves(leaves)  # [..., n, 4]
         self.levels = [level]
         for _ in range(self.depth):
-            left = level[0::2]
-            right = level[1::2]
+            left = level[..., 0::2, :]
+            right = level[..., 1::2, :]
             out = pg.two_to_one(
                 gnp,
-                [left[:, i] for i in range(4)],
-                [right[:, i] for i in range(4)],
-                shape=(left.shape[0],),
+                [left[..., i] for i in range(4)],
+                [right[..., i] for i in range(4)],
+                shape=left.shape[:-1],
             )
-            level = np.stack(out, axis=1)
+            level = np.stack(out, axis=-1)
             self.levels.append(level)
-        self.cap = level  # [2^cap_height, 4]
+        self.cap = level  # [..., 2^cap_height, 4]
 
     @staticmethod
     def _hash_leaves(leaves: np.ndarray) -> np.ndarray:
-        n, w = leaves.shape
-        cols = [leaves[:, i] for i in range(w)]
-        out = pg.hash_or_noop(gnp, cols, shape=(n,))
-        return np.stack(out, axis=1)
+        w = leaves.shape[-1]
+        cols = [leaves[..., i] for i in range(w)]
+        out = pg.hash_or_noop(gnp, cols, shape=leaves.shape[:-1])
+        return np.stack(out, axis=-1)
 
     def prove(self, index: int) -> np.ndarray:
-        """Sibling digests from leaf level up to (not including) the cap:
-        [depth, 4] uint64."""
+        """Sibling digests for an unbatched tree: [depth, 4] uint64."""
+        assert self.batch_shape == ()
         sibs = []
         idx = index
         for lvl in range(self.depth):
             sibs.append(self.levels[lvl][idx ^ 1])
             idx >>= 1
         return np.stack(sibs, axis=0) if sibs else np.zeros((0, 4), np.uint64)
+
+    def prove_batch(self, idx: np.ndarray) -> np.ndarray:
+        """Sibling digests for index array `idx`.
+
+        Unbatched tree: idx any shape -> [*idx.shape, depth, 4].
+        Batched tree [B, ...]: idx [B, Q] -> [B, Q, depth, 4].
+        """
+        idx = np.asarray(idx)
+        sibs = []
+        cur = idx
+        for lvl in range(self.depth):
+            level = self.levels[lvl]
+            s = cur ^ 1
+            if self.batch_shape == ():
+                sibs.append(level[s])  # [..., 4] fancy-indexed
+            else:
+                sibs.append(
+                    np.take_along_axis(level, s[..., None].astype(np.int64), axis=-2)
+                )
+            cur = cur >> 1
+        if not sibs:
+            return np.zeros(idx.shape + (0, 4), np.uint64)
+        return np.stack(sibs, axis=-2)
+
+    def leaves_at(self, idx: np.ndarray) -> np.ndarray:
+        """Leaf rows at `idx` (same batching rules as prove_batch)."""
+        idx = np.asarray(idx)
+        if self.batch_shape == ():
+            return self.leaves[idx]
+        return np.take_along_axis(
+            self.leaves, idx[..., None].astype(np.int64), axis=-2
+        )
 
 
 def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap, cap_index):
@@ -72,11 +106,14 @@ def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap, cap_inde
     Returns a boolean accept mask.
     """
     state = pg.hash_or_noop(F, leaf_data, shape=_shape_of(leaf_data[0]))
-    for bit, sib in zip(index_bits, siblings):
-        mask = bit != 0 if not _is_bool(bit) else bit
-        left = [F.select(mask, sib[i], state[i]) for i in range(4)]
-        right = [F.select(mask, state[i], sib[i]) for i in range(4)]
-        state = pg.two_to_one(F, left, right, shape=_shape_of(state[0]))
+    if getattr(F, "IS_JAX", False) and len(index_bits) >= 2:
+        state = _merkle_walk_scan(F, state, index_bits, siblings)
+    else:
+        for bit, sib in zip(index_bits, siblings):
+            mask = bit != 0 if not _is_bool(bit) else bit
+            left = [F.select(mask, sib[i], state[i]) for i in range(4)]
+            right = [F.select(mask, state[i], sib[i]) for i in range(4)]
+            state = pg.two_to_one(F, left, right, shape=_shape_of(state[0]))
     expected = F.take(cap, cap_index, axis=0)  # [..., 4]
     ok = None
     for i in range(4):
@@ -101,3 +138,35 @@ def _index_last(F, stacked, i):
 
         return GF(stacked.lo[..., i], stacked.hi[..., i])
     return stacked[..., i]
+
+
+def _merkle_walk_scan(F, state4, index_bits, siblings):
+    """Scan-based path walk (JAX): one lax.scan over the tree depth with a
+    single Poseidon compression in the body."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.gl64_jax import GF
+
+    shape = _shape_of(state4[0])
+    depth = len(index_bits)
+    masks = jnp.stack(
+        [jnp.broadcast_to(jnp.asarray(b != 0), shape) for b in index_bits]
+    )  # [depth, ...] bool
+    sibs = F.stack([F.stack([F.add(s, F.zeros(shape)) for s in sib]) for sib in siblings])
+    # sibs: GF [depth, 4, ...]
+    cap_zeros = F.zeros((4,) + shape)
+
+    def body(st, xs):
+        mask, sib = xs  # st, sib: GF [4, ...]; mask [...] bool
+        left = F.select(mask, sib, st)
+        right = F.select(mask, st, sib)
+        st12 = GF(
+            jnp.concatenate([left.lo, right.lo, cap_zeros.lo], axis=0),
+            jnp.concatenate([left.hi, right.hi, cap_zeros.hi], axis=0),
+        )
+        out = pg.permute(F, st12)
+        return GF(out.lo[:4], out.hi[:4]), None
+
+    st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs))
+    return F.unstack(st)

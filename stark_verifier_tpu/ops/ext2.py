@@ -116,10 +116,33 @@ def reduce_with_powers(F, base, terms):
     """Horner: sum_i terms[i] * base^i (terms[0] lowest), all extension.
 
     Matches reference reduce_extension (chip/goldilocks_extension_chip.rs:331).
+    On the JAX backend long reductions run as a lax.scan so the trace stays
+    compact.
     """
+    if getattr(F, "IS_JAX", False) and len(terms) >= 8:
+        return _reduce_scan_jax(F, base, terms)
     acc = zero(F)
     for t in reversed(terms):
         acc = add(F, mul(F, acc, base), t)
+    return acc
+
+
+def _reduce_scan_jax(F, base, terms):
+    import jax
+    import jax.numpy as jnp
+
+    shape = jnp.broadcast_shapes(*[t[0].shape for t in terms])
+    z = F.zeros(shape)
+    c0 = F.stack([F.add(t[0], z) for t in terms])
+    c1 = F.stack([F.add(t[1], z) for t in terms])
+    base = (F.add(base[0], z), F.add(base[1], z))
+
+    def body(acc, term):
+        t0, t1 = term
+        acc = add(F, mul(F, acc, base), (t0, t1))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, zero(F, shape), (c0, c1), reverse=True)
     return acc
 
 

@@ -122,19 +122,19 @@ def add(a: GF, b: GF) -> GF:
     lo, hi, of = _add64(a.lo, a.hi, b.lo, b.hi)
     # + of * EPSILON  (2^64 === EPSILON mod p); cannot re-overflow for
     # canonical inputs (a+b-2^64 <= 2^64 - 2^33).
-    lo, hi, _ = _add64(lo, hi, of * _U32MAX, _0 * of)
+    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
     return _canonical(lo, hi)
 
 
 def sub(a: GF, b: GF) -> GF:
     lo, hi, bo = _sub64(a.lo, a.hi, b.lo, b.hi)
     # - bo * EPSILON
-    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, _0 * bo)
+    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
     return _canonical(lo, hi)
 
 
 def neg(a: GF) -> GF:
-    return sub(GF(_0 * a.lo, _0 * a.hi), a)
+    return sub(GF(jnp.zeros_like(a.lo), jnp.zeros_like(a.hi)), a)
 
 
 def mul128(a: GF, b: GF):
@@ -164,15 +164,15 @@ def reduce128(x0, x1, x2, x3) -> GF:
     2^64 === 2^32 - 1 and 2^96 === -1 (mod p).
     """
     # t0 = lo64 - x3
-    lo, hi, bo = _sub64(x0, x1, x3, _0 * x3)
-    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, _0 * bo)
+    lo, hi, bo = _sub64(x0, x1, x3, jnp.zeros_like(x3))
+    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
     # t1 = x2 * EPSILON = (x2 << 32) - x2
     t1lo = _0 - x2
     t1bo = (x2 != _0).astype(jnp.uint32)
     t1hi = x2 - t1bo
     # t2 = t0 + t1 (+ EPSILON on carry)
     lo, hi, of = _add64(lo, hi, t1lo, t1hi)
-    lo, hi, _ = _add64(lo, hi, of * _U32MAX, _0 * of)
+    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
     return _canonical(lo, hi)
 
 
@@ -312,7 +312,7 @@ def mds12(state: GF) -> GF:
     t3 = (t2 >> _16) + c3                     # < 2^27
     x1 = (t2 & _LO16) | ((t3 & _LO16) << _16)
     x2 = t3 >> _16                            # < 2^11
-    return reduce128(x0, x1, x2, _0 * x2)
+    return reduce128(x0, x1, x2, jnp.zeros_like(x2))
 
 
 # ------------------------------------------------- scan-based Poseidon core
@@ -361,3 +361,56 @@ def permute12(state: GF) -> GF:
     state, _ = jax.lax.scan(partial_round, state, (rc_lo[4:26], rc_hi[4:26]))
     state, _ = jax.lax.scan(full_round, state, (rc_lo[26:], rc_hi[26:]))
     return state
+
+
+IS_JAX = True
+
+
+def _pminus2_bits():
+    e = P - 2
+    return np.array([(e >> i) & 1 for i in range(64)], dtype=np.uint32)
+
+
+_PM2_BITS = None
+
+
+def inv_scan(a: GF) -> GF:
+    """Fermat inverse via fori_loop (compact trace); inv(0) = 0."""
+    import jax
+
+    global _PM2_BITS
+    if _PM2_BITS is None:
+        _PM2_BITS = jnp.asarray(_pminus2_bits())
+    bits = _PM2_BITS
+
+    def body(i, carry):
+        result, base = carry
+        b = bits[i]
+        result = select(b == 1, mul(result, base), result)
+        return (result, square(base))
+
+    result, _ = jax.lax.fori_loop(0, 64, body, (ones(a.shape), a))
+    return result
+
+
+inv = inv_scan  # override the unrolled square-and-multiply
+
+
+def sum_axis0(a: GF) -> GF:
+    """Tree-sum of a stacked GF array along axis 0 (mod p)."""
+    n = a.lo.shape[0]
+    while n > 1:
+        half = n // 2
+        lo_part = GF(a.lo[:half], a.hi[:half])
+        hi_part = GF(a.lo[half : 2 * half], a.hi[half : 2 * half])
+        s = add(lo_part, hi_part)
+        if n % 2:
+            s = GF(
+                jnp.concatenate([s.lo, a.lo[2 * half :]]),
+                jnp.concatenate([s.hi, a.hi[2 * half :]]),
+            )
+            n = half + 1
+        else:
+            n = half
+        a = s
+    return GF(a.lo[0], a.hi[0])

@@ -242,3 +242,17 @@ def mds12(state):
     lo128 = (col0 & np.uint64(0xFFFFFFFF)) | ((t & np.uint64(0xFFFFFFFF)) << np.uint64(32))
     hi128 = t >> np.uint64(32)                 # < 2^11
     return reduce128(lo128, hi128)
+
+
+IS_JAX = False
+
+
+def unstack_gf(a):
+    return unstack(a)
+
+
+def sum_axis0(a):
+    out = a[0]
+    for i in range(1, a.shape[0]):
+        out = add(out, a[i])
+    return out

@@ -72,12 +72,43 @@ def permute(F, state):
     return F.stack(elems)
 
 
+def absorb_chunks_scan(F, state, chunks):
+    """Absorb `k` full rate-8 chunks into `state` (list of 12) with one
+    lax.scan (JAX backend): chunks is a list of k lists of 8 elements."""
+    import jax
+
+    shape = state[0].shape
+    flat = [F.add(e, F.zeros(shape)) for ch in chunks for e in ch]
+    xs = F.stack(flat)  # [k*8, ...]
+    from ..ops.gl64_jax import GF
+    import jax.numpy as jnp
+
+    k = len(chunks)
+    xs = GF(xs.lo.reshape((k, RATE) + shape), xs.hi.reshape((k, RATE) + shape))
+
+    def body(st, chunk):
+        st = GF(
+            jnp.concatenate([chunk.lo, st.lo[RATE:]], axis=0),
+            jnp.concatenate([chunk.hi, st.hi[RATE:]], axis=0),
+        )
+        return permute(F, st), None
+
+    st, _ = jax.lax.scan(body, F.stack(state), xs)
+    return F.unstack(st)
+
+
 def hash_n_to_m_no_pad(F, inputs, num_outputs: int, shape=()):
     """plonky2 `hash_n_to_m_no_pad`: overwrite-mode absorb in chunks of 8
     (permute after every chunk, even a short final one), then squeeze from
     the front of the rate window."""
     state = [F.zeros(shape) for _ in range(WIDTH)]
-    for start in range(0, len(inputs), RATE):
+    n_full = len(inputs) // RATE
+    start0 = 0
+    if getattr(F, "IS_JAX", False) and n_full >= 2:
+        chunks = [inputs[i * RATE : (i + 1) * RATE] for i in range(n_full)]
+        state = absorb_chunks_scan(F, state, chunks)
+        start0 = n_full * RATE
+    for start in range(start0, len(inputs), RATE):
         chunk = inputs[start : start + RATE]
         for i, e in enumerate(chunk):
             state[i] = e

@@ -1,0 +1,416 @@
+"""plonky2-compatible circuit builder (host side, numpy).
+
+Builds the circuits the reference workload proves — Semaphore membership
+(reference: plonky2_semaphore/circuit.rs) and generic hash circuits — and
+produces (CommonData, VerifierOnlyData, ProverData) whose proofs our TPU
+verifier checks. Gate wire layouts come from core/gates.py.
+
+Witness generation is recorded as a replayable op-list: every gadget appends
+a numpy-vectorized generator, so one build serves a whole *batch* of
+witnesses (the batch dimension rides through every op).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core import gates as G
+from ..core.merkle import MerkleTree
+from ..core.types import (
+    CircuitConfig,
+    CommonData,
+    FriParams,
+    SelectorsInfo,
+    VerifierOnlyData,
+    constant_arity_bits,
+)
+from ..ops import gl64_np as gl
+from ..ops import ntt_np as ntt
+from ..ops import poseidon_gl as pg
+from ..utils.bits import log2_strict, reverse_index_bits
+
+# Targets: ("w", row, col) wire targets / ("v", idx) virtual targets.
+Target = Tuple
+
+
+class WitnessStore:
+    """target -> uint64 array [batch]."""
+
+    def __init__(self, batch: int):
+        self.batch = batch
+        self.vals: Dict[Target, np.ndarray] = {}
+
+    def set(self, t: Target, v):
+        v = np.broadcast_to(np.asarray(v, dtype=np.uint64), (self.batch,))
+        self.vals[t] = v
+
+    def get(self, t: Target) -> np.ndarray:
+        return self.vals[t]
+
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig = None):
+        self.config = config or CircuitConfig()
+        self.gate_rows: List[Tuple[G.Gate, List[int]]] = []  # (gate, constants)
+        self.copy_constraints: List[Tuple[Target, Target]] = []
+        self.public_inputs: List[Target] = []
+        self.generators = []  # list of callables (store) -> None
+        self._const_targets: Dict[int, Target] = {}
+        self._const_gate_slot = None  # (row, next_slot)
+        self._virtual_count = 0
+
+    # ------------------------------------------------------------- targets
+    def add_virtual_target(self) -> Target:
+        t = ("v", self._virtual_count)
+        self._virtual_count += 1
+        return t
+
+    def add_virtual_targets(self, n) -> List[Target]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def add_virtual_hash(self) -> List[Target]:
+        return self.add_virtual_targets(4)
+
+    def connect(self, a: Target, b: Target):
+        self.copy_constraints.append((a, b))
+
+    def register_public_input(self, t: Target):
+        self.public_inputs.append(t)
+
+    def register_public_inputs(self, ts):
+        for t in ts:
+            self.register_public_input(t)
+
+    def add_gate(self, gate: G.Gate, constants: List[int] = ()) -> int:
+        assert gate.num_wires_used() <= self.config.num_wires, gate.id
+        row = len(self.gate_rows)
+        self.gate_rows.append((gate, list(constants)))
+        return row
+
+    # ----------------------------------------------------------- constants
+    def constant(self, value: int) -> Target:
+        value = value % gl.P
+        if value in self._const_targets:
+            return self._const_targets[value]
+        nc = self.config.num_constants
+        if self._const_gate_slot is None or self._const_gate_slot[1] >= nc:
+            row = self.add_gate(G.ConstantGate(nc), [0] * nc)
+            self._const_gate_slot = (row, 0)
+        row, slot = self._const_gate_slot
+        self.gate_rows[row][1][slot] = value
+        self._const_gate_slot = (row, slot + 1)
+        t = ("w", row, slot)
+        self._const_targets[value] = t
+        self.generators.append(lambda s, t=t, v=value: s.set(t, v))
+        return t
+
+    def zero(self) -> Target:
+        return self.constant(0)
+
+    def one(self) -> Target:
+        return self.constant(1)
+
+    # ------------------------------------------------------------- gadgets
+    def arithmetic(self, c0: int, c1: int, x: Target, y: Target, z: Target) -> Target:
+        """returns c0*x*y + c1*z via an ArithmeticGate slot."""
+        if not hasattr(self, "_arith_slot"):
+            self._arith_slot = None
+        gate = G.ArithmeticGate(num_ops=self._arith_ops())
+        if (
+            self._arith_slot is None
+            or self._arith_slot[2] != (c0, c1)
+            or self._arith_slot[1] >= gate.num_ops
+        ):
+            row = self.add_gate(gate, [c0, c1])
+            self._arith_slot = [row, 0, (c0, c1)]
+        row, i, _ = self._arith_slot
+        w0, w1, wa, wo = G.ArithmeticGate(self._arith_ops()).wires(i)
+        self.connect(x, ("w", row, w0))
+        self.connect(y, ("w", row, w1))
+        self.connect(z, ("w", row, wa))
+        out = ("w", row, wo)
+        self._arith_slot[1] += 1
+
+        def gen(s, x=x, y=y, z=z, row=row, ws=(w0, w1, wa, wo), c0=c0, c1=c1):
+            vx, vy, vz = s.get(x), s.get(y), s.get(z)
+            for t, v in zip(ws[:3], (vx, vy, vz)):
+                s.set(("w", row, t), v)
+            out_v = gl.add(
+                gl.mul(gl.const(c0, vx.shape), gl.mul(vx, vy)),
+                gl.mul(gl.const(c1, vx.shape), vz),
+            )
+            s.set(("w", row, ws[3]), out_v)
+
+        self.generators.append(gen)
+        return out
+
+    def _arith_ops(self):
+        return (self.config.num_routed_wires // 4) if self.config.num_routed_wires < 80 else 20
+
+    def mul(self, x, y):
+        return self.arithmetic(1, 0, x, y, x)
+
+    def add(self, x, y):
+        return self.arithmetic(1, 1, x, self.one(), y)
+
+    def poseidon_permute(self, inputs: List[Target], swap: Target = None) -> List[Target]:
+        """One PoseidonGate; returns the 12 output wire targets."""
+        gate = G.PoseidonGate()
+        row = self.add_gate(gate, [])
+        if swap is None:
+            swap = self.zero()
+        for i in range(12):
+            self.connect(inputs[i], ("w", row, gate.wire_input(i)))
+        self.connect(swap, ("w", row, gate.WIRE_SWAP))
+
+        def gen(s, inputs=tuple(inputs), swap=swap, row=row):
+            ins = [s.get(t) for t in inputs]
+            sw = s.get(swap)
+            wires, _ = G.poseidon_witness_fill(gl, ins, sw)
+            for wi, v in wires.items():
+                s.set(("w", row, wi), v)
+
+        self.generators.append(gen)
+        return [("w", row, gate.wire_output(i)) for i in range(12)]
+
+    def hash_n_to_hash_no_pad(self, inputs: List[Target]) -> List[Target]:
+        state = [self.zero()] * 12
+        for start in range(0, len(inputs), 8):
+            chunk = inputs[start : start + 8]
+            state = list(chunk) + state[len(chunk) :]
+            state = self.poseidon_permute(state)
+        return state[:4]
+
+    def hash_or_noop(self, inputs: List[Target]) -> List[Target]:
+        if len(inputs) <= 4:
+            return list(inputs) + [self.zero()] * (4 - len(inputs))
+        return self.hash_n_to_hash_no_pad(inputs)
+
+    def split_le(self, x: Target, num_bits: int) -> List[Target]:
+        gate = G.BaseSumGate(num_bits)
+        row = self.add_gate(gate, [])
+        self.connect(x, ("w", row, gate.WIRE_SUM))
+        bits = [("w", row, gate.START_LIMBS + i) for i in range(num_bits)]
+
+        def gen(s, x=x, row=row, num_bits=num_bits):
+            v = s.get(x)
+            s.set(("w", row, G.BaseSumGate.WIRE_SUM), v)
+            for i in range(num_bits):
+                s.set(("w", row, G.BaseSumGate.START_LIMBS + i),
+                      (v >> np.uint64(i)) & np.uint64(1))
+
+        self.generators.append(gen)
+        return bits
+
+    def verify_merkle_proof_to_cap_root(self, leaf_data, index_bits, root4, siblings):
+        """Merkle membership against a single root (cap_height 0); siblings:
+        list of 4-target digests. Mirrors plonky2's gadget: one PoseidonGate
+        per level with the index bit on the swap wire."""
+        state = self.hash_or_noop(leaf_data)
+        zero = self.zero()
+        for bit, sib in zip(index_bits, siblings):
+            inputs = state + list(sib) + [zero] * 4
+            out = self.poseidon_permute(inputs, swap=bit)
+            state = out[:4]
+        for i in range(4):
+            self.connect(state[i], root4[i])
+
+    # --------------------------------------------------------------- build
+    def build(self) -> "CircuitData":
+        cfg = self.config
+        # in-circuit hash of the public inputs, wired into a PublicInputGate
+        pi_hash_targets = self.hash_n_to_hash_no_pad(list(self.public_inputs))
+        pi_gate = G.PublicInputGate()
+        pi_row = self.add_gate(pi_gate, [])
+        for i in range(4):
+            self.connect(pi_hash_targets[i], ("w", pi_row, i))
+
+        def gen_pi(s, pi_row=pi_row, targets=tuple(pi_hash_targets)):
+            for i, t in enumerate(targets):
+                s.set(("w", pi_row, i), s.get(t))
+
+        self.generators.append(gen_pi)
+
+        # pad rows to a power of two
+        while len(self.gate_rows) & (len(self.gate_rows) - 1):
+            self.add_gate(G.NoopGate(), [])
+        n = len(self.gate_rows)
+        degree_bits = log2_strict(n)
+
+        # ---- selector groups over the distinct gate types present
+        gate_types: List[G.Gate] = []
+        seen = {}
+        for g, _ in self.gate_rows:
+            if g.id not in seen:
+                seen[g.id] = len(gate_types)
+                gate_types.append(g)
+        order = sorted(range(len(gate_types)),
+                       key=lambda i: (gate_types[i].degree, gate_types[i].id))
+        gate_types = [gate_types[i] for i in order]
+        gate_index = {g.id: i for i, g in enumerate(gate_types)}
+
+        max_deg = cfg.max_quotient_degree_factor
+        groups = []
+        start = 0
+        while start < len(gate_types):
+            end = start + 1
+            while end < len(gate_types):
+                size = end - start + 1
+                gmax = max(g.degree for g in gate_types[start:end + 1])
+                if size + gmax > max_deg:
+                    break
+                end += 1
+            groups.append((start, end))
+            start = end
+        sel_indices = []
+        for i in range(len(gate_types)):
+            for si, (a, b) in enumerate(groups):
+                if a <= i < b:
+                    sel_indices.append(si)
+                    break
+        num_selectors = len(groups)
+
+        # selector polynomial values
+        selector_vals = np.full((num_selectors, n), G.UNUSED_SELECTOR, dtype=np.uint64)
+        for row, (g, _) in enumerate(self.gate_rows):
+            gi = gate_index[g.id]
+            si = sel_indices[gi]
+            selector_vals[si, row] = gi
+
+        # gate-constant polynomial values
+        num_const_cols = max(
+            [cfg.num_constants] + [len(c) for _, c in self.gate_rows]
+        )
+        const_vals = np.zeros((num_const_cols, n), dtype=np.uint64)
+        for row, (_, consts) in enumerate(self.gate_rows):
+            for c, v in enumerate(consts):
+                const_vals[c, row] = v % gl.P
+
+        # ---- sigmas (copy-constraint permutation)
+        nr = cfg.num_routed_wires
+        parent: Dict[Target, Target] = {}
+
+        def find(t):
+            while parent.get(t, t) != t:
+                parent[t] = parent.get(parent[t], parent[t])
+                t = parent[t]
+            return t
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for a, b in self.copy_constraints:
+            for t in (a, b):
+                if t[0] == "w":
+                    assert t[2] < nr, f"copy constraint on non-routed wire {t}"
+            union(a, b)
+
+        classes: Dict[Target, List[Tuple[int, int]]] = {}
+        for row in range(n):
+            for col in range(nr):
+                t = ("w", row, col)
+                classes.setdefault(find(t), []).append((row, col))
+
+        # sigma = next-in-cycle permutation over wire positions
+        sigma_pos = {}
+        for members in classes.values():
+            m = len(members)
+            for i, pos in enumerate(members):
+                sigma_pos[pos] = members[(i + 1) % m]
+
+        g_sub = gl.primitive_root_of_unity(degree_bits)
+        subgroup = np.empty(n, dtype=np.uint64)
+        acc = 1
+        for j in range(n):
+            subgroup[j] = acc
+            acc = (acc * g_sub) % gl.P
+        k_is = np.array([pow(7, i, gl.P) for i in range(nr)], dtype=np.uint64)
+        sigma_vals = np.zeros((nr, n), dtype=np.uint64)
+        for (row, col), (row2, col2) in sigma_pos.items():
+            sigma_vals[col, row] = (int(k_is[col2]) * int(subgroup[row2])) % gl.P
+
+        # ---- quotient degree factor & partial products
+        qdf = cfg.max_quotient_degree_factor
+        num_partial_products = (nr + qdf - 1) // qdf - 1
+
+        fri_cfg = cfg.fri_config
+        fri_params = FriParams(
+            config=fri_cfg,
+            hiding=cfg.zero_knowledge,
+            degree_bits=degree_bits,
+            reduction_arity_bits=constant_arity_bits(1, 5, degree_bits, fri_cfg.rate_bits),
+        )
+
+        common = CommonData(
+            config=cfg,
+            fri_params=fri_params,
+            gate_ids=[g.id for g in gate_types],
+            selectors_info=SelectorsInfo(sel_indices, groups),
+            quotient_degree_factor=qdf,
+            num_gate_constraints=max((g.num_constraints for g in gate_types), default=0),
+            num_constants=num_selectors + num_const_cols,
+            num_public_inputs=len(self.public_inputs),
+            k_is=k_is,
+            num_partial_products=num_partial_products,
+        )
+
+        # ---- constants-sigmas oracle commitment
+        cs_values = np.concatenate([selector_vals, const_vals, sigma_vals], axis=0)
+        cs_coeffs = ntt.intt(cs_values)
+        shift = 7
+        cs_lde = ntt.coset_lde(cs_coeffs, fri_cfg.rate_bits, shift)
+        leaves = reverse_index_bits(np.ascontiguousarray(cs_lde.T))
+        cs_tree = MerkleTree(leaves, fri_cfg.cap_height)
+
+        digest_inputs = list(cs_tree.cap.reshape(-1)) + [np.uint64(degree_bits)]
+        circuit_digest = np.stack(
+            pg.hash_no_pad(gl, [np.asarray(x, np.uint64) for x in digest_inputs])
+        )
+
+        vk = VerifierOnlyData(constants_sigmas_cap=cs_tree.cap, circuit_digest=circuit_digest)
+        return CircuitData(
+            builder=self,
+            common=common,
+            vk=vk,
+            constants_sigmas_values=cs_values,
+            constants_sigmas_coeffs=cs_coeffs,
+            constants_sigmas_lde=cs_lde,
+            constants_sigmas_tree=cs_tree,
+            subgroup=subgroup,
+            sigma_vals=sigma_vals,
+        )
+
+
+@dataclass
+class CircuitData:
+    builder: CircuitBuilder
+    common: CommonData
+    vk: VerifierOnlyData
+    constants_sigmas_values: np.ndarray  # [num_constants+nr, n]
+    constants_sigmas_coeffs: np.ndarray
+    constants_sigmas_lde: np.ndarray     # [num_constants+nr, 8n]
+    constants_sigmas_tree: MerkleTree
+    subgroup: np.ndarray                 # [n]
+    sigma_vals: np.ndarray               # [nr, n]
+
+    def generate_witness(self, inputs: Dict[Target, np.ndarray], batch: int):
+        """Run the recorded generators; returns wire matrix [num_wires, n, B]
+        and the public-input values [num_pis, B]."""
+        store = WitnessStore(batch)
+        for t, v in inputs.items():
+            store.set(t, v)
+        for gen in self.builder.generators:
+            gen(store)
+        n = len(self.builder.gate_rows)
+        W = np.zeros((self.common.config.num_wires, n, batch), dtype=np.uint64)
+        for t, v in store.vals.items():
+            if t[0] == "w":
+                _, row, col = t
+                W[col, row] = v
+        # copy-constraint propagation for virtual-only connections
+        pis = np.stack([store.get(t) for t in self.builder.public_inputs]) if self.builder.public_inputs else np.zeros((0, batch), np.uint64)
+        return W, pis

@@ -1,0 +1,153 @@
+"""Semaphore anonymous-signaling application (reference: plonky2_semaphore/).
+
+AccessSet wraps a Poseidon Merkle tree of public keys; `make_signals` proves
+set-membership + nullifier correctness for a batch of identities with the
+plonky2-compatible prover; `verify_signals` checks a batch of signals with
+the TPU verifier.
+
+Mirrors the reference circuit exactly (reference: plonky2_semaphore/
+circuit.rs:25-65): public inputs = merkle_root(4) ‖ nullifier(4) ‖ topic(4);
+the circuit verifies membership of H(sk ‖ 0^4) at split_le(index) and
+nullifier = H(sk ‖ topic).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List
+
+import numpy as np
+
+from ..core.merkle import MerkleTree
+from ..core.types import CircuitConfig, FriConfig
+from ..ops import gl64_np as gl
+from ..ops import poseidon_gl as pg
+from ..prover.builder import CircuitBuilder, CircuitData
+from ..prover.prove import prove_batch
+from ..utils.bits import log2_strict
+
+
+@dataclass
+class Signal:
+    """reference: plonky2_semaphore/signal.rs:11-15."""
+
+    topics: np.ndarray      # [4]
+    nullifier: np.ndarray   # [4]
+    proof: "Proof"          # core.types.Proof
+
+
+def semaphore_config() -> CircuitConfig:
+    """The Semaphore proving preset (reference: access_set.rs:68-84), with
+    zero_knowledge pending blinding support."""
+    return CircuitConfig(
+        num_wires=135,
+        num_routed_wires=80,
+        num_constants=2,
+        num_challenges=2,
+        zero_knowledge=False,
+        max_quotient_degree_factor=8,
+        fri_config=FriConfig(
+            rate_bits=3, cap_height=4, proof_of_work_bits=16, num_query_rounds=28
+        ),
+    )
+
+
+class AccessSet:
+    def __init__(self, public_keys: np.ndarray, config: CircuitConfig = None):
+        """public_keys: [n, 4] uint64 (n a power of two)."""
+        self.tree = MerkleTree(public_keys, cap_height=0)
+        self.tree_height = log2_strict(public_keys.shape[0])
+        self.config = config or semaphore_config()
+        self._circuit: CircuitData = None
+
+    @staticmethod
+    def public_key(private_key: np.ndarray) -> np.ndarray:
+        """H(sk ‖ 0^4) (reference: plonky2_semaphore/signal.rs tests)."""
+        sk = [private_key[..., i] for i in range(4)]
+        zeros = [gl.zeros(private_key.shape[:-1]) for _ in range(4)]
+        return np.stack(pg.hash_no_pad(gl, sk + zeros, shape=private_key.shape[:-1]), axis=-1)
+
+    @staticmethod
+    def nullifier(private_key: np.ndarray, topic: np.ndarray) -> np.ndarray:
+        ins = [private_key[..., i] for i in range(4)] + [topic[..., i] for i in range(4)]
+        return np.stack(pg.hash_no_pad(gl, ins, shape=private_key.shape[:-1]), axis=-1)
+
+    @property
+    def merkle_root(self) -> np.ndarray:
+        return self.tree.cap[0]
+
+    # -------------------------------------------------------------- circuit
+    def circuit(self) -> CircuitData:
+        if self._circuit is not None:
+            return self._circuit
+        b = CircuitBuilder(self.config)
+        merkle_root = b.add_virtual_hash()
+        b.register_public_inputs(merkle_root)
+        nullifier = b.add_virtual_hash()
+        b.register_public_inputs(nullifier)
+        topic = b.add_virtual_targets(4)
+        b.register_public_inputs(topic)
+
+        private_key = b.add_virtual_targets(4)
+        index = b.add_virtual_target()
+        index_bits = b.split_le(index, self.tree_height)
+        zero = b.zero()
+        siblings = [b.add_virtual_hash() for _ in range(self.tree_height)]
+        b.verify_merkle_proof_to_cap_root(
+            private_key + [zero] * 4, index_bits, merkle_root, siblings
+        )
+        should_be_nullifier = b.hash_n_to_hash_no_pad(private_key + topic)
+        for i in range(4):
+            b.connect(nullifier[i], should_be_nullifier[i])
+
+        self._targets = dict(
+            merkle_root=merkle_root,
+            nullifier=nullifier,
+            topic=topic,
+            private_key=private_key,
+            index=index,
+            siblings=siblings,
+        )
+        self._circuit = b.build()
+        return self._circuit
+
+    # --------------------------------------------------------------- prove
+    def make_signals(self, private_keys: np.ndarray, topics: np.ndarray,
+                     indices: np.ndarray) -> List[Signal]:
+        """Prove a batch: private_keys [B,4], topics [B,4], indices [B]."""
+        data = self.circuit()
+        t = self._targets
+        B = private_keys.shape[0]
+        nullifiers = self.nullifier(private_keys, topics)
+        sibs = self.tree.prove_batch(indices)  # [B, height, 4]
+        inputs: Dict = {}
+        for i in range(4):
+            inputs[t["merkle_root"][i]] = np.broadcast_to(self.merkle_root[i], (B,))
+            inputs[t["nullifier"][i]] = nullifiers[:, i]
+            inputs[t["topic"][i]] = topics[:, i]
+            inputs[t["private_key"][i]] = private_keys[:, i]
+        inputs[t["index"]] = indices.astype(np.uint64)
+        for lvl in range(self.tree_height):
+            for i in range(4):
+                inputs[t["siblings"][lvl][i]] = sibs[:, lvl, i]
+        proofs = prove_batch(data, inputs, B)
+        return [
+            Signal(topics=topics[b], nullifier=nullifiers[b], proof=proofs[b])
+            for b in range(B)
+        ]
+
+    # -------------------------------------------------------------- verify
+    def expected_public_inputs(self, signal: Signal) -> np.ndarray:
+        return np.concatenate([self.merkle_root, signal.nullifier, signal.topics])
+
+    def verify_signals_np(self, signals: List[Signal]) -> List[bool]:
+        """Host-side golden verification."""
+        from ..core.verifier import verify_proof
+
+        data = self.circuit()
+        out = []
+        for s in signals:
+            if not (s.proof.public_inputs == self.expected_public_inputs(s)).all():
+                out.append(False)
+                continue
+            out.append(bool(verify_proof(gl, data.common, data.vk, s.proof)))
+        return out

@@ -708,9 +708,15 @@ def _se_stack(F, ext_list):
 
     shape = jnp.broadcast_shapes(*[e[0].shape for e in ext_list])
     z = F.zeros(shape)
+
+    def b(x):
+        from ..ops.gl64_jax import gmap
+
+        return gmap(lambda a: jnp.broadcast_to(a, shape), x)
+
     return (
-        F.stack([F.add(e[0], z) for e in ext_list]),
-        F.stack([F.add(e[1], z) for e in ext_list]),
+        F.stack([b(e[0]) for e in ext_list]),
+        F.stack([b(e[1]) for e in ext_list]),
     )
 
 
@@ -734,7 +740,6 @@ def _poseidon_eval_vectorized(gate, R, W):
     import numpy as np
 
     from ..ops import ext2
-    from ..ops.gl64_jax import GF
 
     F = R.F
     out_scalar = []
@@ -753,8 +758,8 @@ def _poseidon_eval_vectorized(gate, R, W):
         state_list[i] = W[gate.wire_input(i)]
 
     se = _se_stack(F, state_list)  # stacked ext: pair of GF [12, ...]
-    nd = se[0].lo.ndim - 1
-    shape = se[0].lo.shape[1:]
+    nd = se[0].l0.ndim - 1
+    shape = se[0].l0.shape[1:]
 
     def cvec(vals, width):
         return F.from_u64(np.asarray(vals, np.uint64).reshape((width,) + (1,) * nd))
@@ -774,8 +779,8 @@ def _poseidon_eval_vectorized(gate, R, W):
         wires0 = _se_stack(F, [w for row in wire_rows for w in row])
         k = len(wire_rows)
         wires = (
-            GF(wires0[0].lo.reshape((k, T) + shape), wires0[0].hi.reshape((k, T) + shape)),
-            GF(wires0[1].lo.reshape((k, T) + shape), wires0[1].hi.reshape((k, T) + shape)),
+            F.reshape(wires0[0], (k, T) + shape),
+            F.reshape(wires0[1], (k, T) + shape),
         )
         rcs_gf = F.from_u64(np.asarray(rcs, np.uint64).reshape((k, T) + (1,) * nd))
 
@@ -803,11 +808,11 @@ def _poseidon_eval_vectorized(gate, R, W):
     se = (F.add(se[0], cvec(FAST_PARTIAL_FIRST_ROUND_CONSTANT, T)), se[1])
     M = np.asarray(FAST_PARTIAL_ROUND_INITIAL_MATRIX, np.uint64).reshape(T - 1, T - 1)
     Mg = F.from_u64(M.reshape((T - 1, T - 1) + (1,) * nd))
-    tail = (GF(se[0].lo[1:, None], se[0].hi[1:, None]), GF(se[1].lo[1:, None], se[1].hi[1:, None]))
+    tail = (F.index(se[0], (slice(1, None), None)), F.index(se[1], (slice(1, None), None)))
     cols = (F.sum_axis0(F.mul(Mg, tail[0])), F.sum_axis0(F.mul(Mg, tail[1])))
     se = (
-        GF(jnp.concatenate([se[0].lo[:1], cols[0].lo]), jnp.concatenate([se[0].hi[:1], cols[0].hi])),
-        GF(jnp.concatenate([se[1].lo[:1], cols[1].lo]), jnp.concatenate([se[1].hi[:1], cols[1].hi])),
+        F.concat([F.index(se[0], slice(0, 1)), cols[0]], axis=0),
+        F.concat([F.index(se[1], slice(0, 1)), cols[1]], axis=0),
     )
 
     WHATS = np.asarray(FAST_PARTIAL_ROUND_W_HATS, np.uint64).reshape(R_P, T - 1)
@@ -824,21 +829,21 @@ def _poseidon_eval_vectorized(gate, R, W):
 
     def partial_body(st, xs):
         w0, w1, wh, vsv, c = xs
-        s0 = (GF(st[0].lo[0], st[0].hi[0]), GF(st[1].lo[0], st[1].hi[0]))
+        s0 = (F.index(st[0], 0), F.index(st[1], 0))
         d = ext2.sub(F, s0, (w0, w1))
         s0 = (w0, w1)
         x2 = ext2.mul(F, s0, s0)
         x3 = ext2.mul(F, x2, s0)
         s0 = ext2.mul(F, x3, ext2.mul(F, x2, x2))
         s0 = (F.add(s0[0], c), s0[1])
-        tl = (GF(st[0].lo[1:], st[0].hi[1:]), GF(st[1].lo[1:], st[1].hi[1:]))
+        tl = (F.index(st[0], slice(1, None)), F.index(st[1], slice(1, None)))
         d0 = F.add(F.mul(F.const(mds0to0), s0[0]), F.sum_axis0(F.mul(wh, tl[0])))
         d1 = F.add(F.mul(F.const(mds0to0), s0[1]), F.sum_axis0(F.mul(wh, tl[1])))
         r0 = F.add(F.mul(vsv, s0[0]), tl[0])
         r1 = F.add(F.mul(vsv, s0[1]), tl[1])
         st = (
-            GF(jnp.concatenate([d0.lo[None], r0.lo]), jnp.concatenate([d0.hi[None], r0.hi])),
-            GF(jnp.concatenate([d1.lo[None], r1.lo]), jnp.concatenate([d1.hi[None], r1.hi])),
+            _concat_row(F, d0, r0),
+            _concat_row(F, d1, r1),
         )
         return st, d
 
@@ -858,37 +863,26 @@ def _poseidon_eval_vectorized(gate, R, W):
 
 
 def _se_unstack_1d(F, se):
-    from ..ops.gl64_jax import GF
-
-    k = se[0].lo.shape[0]
-    return [
-        (GF(se[0].lo[i], se[0].hi[i]), GF(se[1].lo[i], se[1].hi[i]))
-        for i in range(k)
-    ]
+    k = se[0].l0.shape[0]
+    return [(F.index(se[0], i), F.index(se[1], i)) for i in range(k)]
 
 
 def _se_unstack_2d(F, se):
-    from ..ops.gl64_jax import GF
-
-    k, t = se[0].lo.shape[:2]
+    k, t = se[0].l0.shape[:2]
     return [
-        (GF(se[0].lo[i, j], se[0].hi[i, j]), GF(se[1].lo[i, j], se[1].hi[i, j]))
+        (F.index(se[0], (i, j)), F.index(se[1], (i, j)))
         for i in range(k)
         for j in range(t)
     ]
 
 
 def _gf_rows(F, a, lo, hi):
-    from ..ops.gl64_jax import GF
-
-    return GF(a.lo[lo:hi], a.hi[lo:hi])
+    return F.index(a, slice(lo, hi))
 
 
 def _reshape_ins(F, a, lo, hi):
     """rows lo:hi with an inserted broadcast axis after axis0: [k,1,...]."""
-    from ..ops.gl64_jax import GF
-
-    return GF(a.lo[lo:hi, None], a.hi[lo:hi, None])
+    return F.index(a, (slice(lo, hi), None))
 
 
 def _bcast_row(F, x, k):
@@ -898,11 +892,7 @@ def _bcast_row(F, x, k):
 
 def _concat_row(F, head, tail):
     """GF scalar + GF [k,...] -> GF [k+1,...]."""
+    from ..ops.gl64_jax import gmap
     import jax.numpy as jnp
 
-    from ..ops.gl64_jax import GF
-
-    return GF(
-        jnp.concatenate([head.lo[None], tail.lo], axis=0),
-        jnp.concatenate([head.hi[None], tail.hi], axis=0),
-    )
+    return gmap(lambda h, t: jnp.concatenate([h[None], t], axis=0), head, tail)

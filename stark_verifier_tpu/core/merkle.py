@@ -133,10 +133,10 @@ def _is_bool(x):
 
 def _index_last(F, stacked, i):
     """stacked[..., i] for a backend stacked array."""
-    if hasattr(stacked, "lo"):  # GF pytree
-        from ..ops.gl64_jax import GF
+    if hasattr(stacked, "l0"):  # GF pytree
+        from ..ops.gl64_jax import gmap
 
-        return GF(stacked.lo[..., i], stacked.hi[..., i])
+        return gmap(lambda a: a[..., i], stacked)
     return stacked[..., i]
 
 
@@ -145,8 +145,6 @@ def _merkle_walk_scan(F, state4, index_bits, siblings):
     single Poseidon compression in the body."""
     import jax
     import jax.numpy as jnp
-
-    from ..ops.gl64_jax import GF
 
     shape = _shape_of(state4[0])
     depth = len(index_bits)
@@ -161,12 +159,9 @@ def _merkle_walk_scan(F, state4, index_bits, siblings):
         mask, sib = xs  # st, sib: GF [4, ...]; mask [...] bool
         left = F.select(mask, sib, st)
         right = F.select(mask, st, sib)
-        st12 = GF(
-            jnp.concatenate([left.lo, right.lo, cap_zeros.lo], axis=0),
-            jnp.concatenate([left.hi, right.hi, cap_zeros.hi], axis=0),
-        )
+        st12 = F.concat([left, right, cap_zeros], axis=0)
         out = pg.permute(F, st12)
-        return GF(out.lo[:4], out.hi[:4]), None
+        return F.index(out, slice(0, 4)), None
 
     st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs))
     return F.unstack(st)

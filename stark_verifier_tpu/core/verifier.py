@@ -37,12 +37,16 @@ def primitive_root(bits: int) -> int:
     return _g_pow(ORDER >> bits)
 
 
+def _is_gf(x):
+    return hasattr(x, "l0")
+
+
 def _col(F, arr, i):
     """arr[..., i] for a stacked backend array."""
-    if hasattr(arr, "lo"):
-        from ..ops.gl64_jax import GF
+    if _is_gf(arr):
+        from ..ops.gl64_jax import gmap
 
-        return GF(arr.lo[..., i], arr.hi[..., i])
+        return gmap(lambda a: a[..., i], arr)
     return arr[..., i]
 
 
@@ -54,28 +58,28 @@ def _ext_at(F, arr2, i):
 
 def _ext_list(F, arr2):
     """[n, 2] ext array -> list of (c0, c1)."""
-    n = arr2.shape[-2] if not hasattr(arr2, "lo") else arr2.lo.shape[-2]
+    n = arr2.l0.shape[-2] if _is_gf(arr2) else arr2.shape[-2]
     c0 = _col(F, arr2, 0)
     c1 = _col(F, arr2, 1)
     return [(_col(F, c0, i), _col(F, c1, i)) for i in range(n)]
 
 
 def _scalar_list(F, arr):
-    n = arr.shape[-1] if not hasattr(arr, "lo") else arr.lo.shape[-1]
+    n = arr.l0.shape[-1] if _is_gf(arr) else arr.shape[-1]
     return [_col(F, arr, i) for i in range(n)]
 
 
 def _digest_rows(F, cap):
     """[c, 4] -> list of 4-element digests."""
-    c = cap.shape[0] if not hasattr(cap, "lo") else cap.lo.shape[0]
+    c = cap.l0.shape[0] if _is_gf(cap) else cap.shape[0]
     return [[_col(F, _row(F, cap, r), i) for i in range(4)] for r in range(c)]
 
 
 def _row(F, arr, r):
-    if hasattr(arr, "lo"):
-        from ..ops.gl64_jax import GF
+    if _is_gf(arr):
+        from ..ops.gl64_jax import gmap
 
-        return GF(arr.lo[r], arr.hi[r])
+        return gmap(lambda a: a[r], arr)
     return arr[r]
 
 
@@ -115,8 +119,8 @@ def get_challenges(F, common: CommonData, pa: dict, pi_hash, circuit_digest):
     ch.observe_elements(flat_openings)
     out.fri_alpha = ch.get_extension_challenge()
     out.fri_betas = []
-    ncaps = pa["commit_phase_caps"].shape[0] if not hasattr(
-        pa["commit_phase_caps"], "lo") else pa["commit_phase_caps"].lo.shape[0]
+    cpc = pa["commit_phase_caps"]
+    ncaps = cpc.l0.shape[0] if _is_gf(cpc) else cpc.shape[0]
     for i in range(ncaps):
         ch.observe_cap(_digest_rows(F, _row(F, pa["commit_phase_caps"], i)))
         out.fri_betas.append(ch.get_extension_challenge())
@@ -183,7 +187,17 @@ def eval_vanishing_poly(F, common: CommonData, ch, pa, pi_hash):
     denom = R.mul(n_const, R.sub(zeta, one))
     l_0 = R.div(zero_poly, denom)
 
-    s_ids = [ext2.scalar_mul(F, zeta, F.const(int(k))) for k in common.k_is]
+    if getattr(F, "IS_JAX", False):
+        # all k_i * zeta lanes with two stacked base muls
+        kis = F.from_u64(np.asarray(common.k_is, np.uint64))
+        shape = zeta[0].shape
+        kis = F.reshape(kis, (len(common.k_is),) + (1,) * len(shape))
+        s_ids_st = (F.mul(kis, zeta[0]), F.mul(kis, zeta[1]))
+        from .gates import _se_unstack_1d
+
+        s_ids = _se_unstack_1d(F, s_ids_st)
+    else:
+        s_ids = [ext2.scalar_mul(F, zeta, F.const(int(k))) for k in common.k_is]
 
     vanishing_z_1_terms = []
     vanishing_pp_terms = []
@@ -284,23 +298,23 @@ def _b(F, ext_scalar, k):
 
 
 def _se_row(F, se, k):
-    from ..ops.gl64_jax import GF
+    from ..ops.gl64_jax import gmap
 
-    return (GF(se[0].lo[k], se[0].hi[k]), GF(se[1].lo[k], se[1].hi[k]))
+    return (gmap(lambda a: a[k], se[0]), gmap(lambda a: a[k], se[1]))
 
 
 def _chunk_prod(F, se, qdf):
     """Product along chunks of size qdf of a stacked ext array [n, ...]."""
-    from ..ops.gl64_jax import GF
+    from ..ops.gl64_jax import gmap
 
-    n = se[0].lo.shape[0]
+    n = se[0].l0.shape[0]
     k = n // qdf
-    sh = se[0].lo.shape[1:]
-    c0 = GF(se[0].lo.reshape((k, qdf) + sh), se[0].hi.reshape((k, qdf) + sh))
-    c1 = GF(se[1].lo.reshape((k, qdf) + sh), se[1].hi.reshape((k, qdf) + sh))
-    acc = (GF(c0.lo[:, 0], c0.hi[:, 0]), GF(c1.lo[:, 0], c1.hi[:, 0]))
+    sh = se[0].l0.shape[1:]
+    c0 = gmap(lambda a: a.reshape((k, qdf) + sh), se[0])
+    c1 = gmap(lambda a: a.reshape((k, qdf) + sh), se[1])
+    acc = (gmap(lambda a: a[:, 0], c0), gmap(lambda a: a[:, 0], c1))
     for j in range(1, qdf):
-        term = (GF(c0.lo[:, j], c0.hi[:, j]), GF(c1.lo[:, j], c1.hi[:, j]))
+        term = (gmap(lambda a, j=j: a[:, j], c0), gmap(lambda a, j=j: a[:, j], c1))
         acc = ext2.mul(F, acc, term)
     return acc
 
@@ -461,10 +475,10 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
 
 
 def _col_axis(F, arr, i, axis):
-    if hasattr(arr, "lo"):
-        from ..ops.gl64_jax import GF
+    if _is_gf(arr):
+        from ..ops.gl64_jax import gmap
 
-        return GF(jnp_take(arr.lo, i, axis), jnp_take(arr.hi, i, axis))
+        return gmap(lambda a: jnp_take(a, i, axis), arr)
     return np.take(arr, i, axis=axis % arr.ndim)
 
 

@@ -1,15 +1,22 @@
 """Goldilocks field GF(p), p = 2^64 - 2^32 + 1 — JAX/TPU backend.
 
-TPUs have no native 64-bit integer datapath, so field elements are carried as
-pairs of uint32 lanes (lo, hi) in a `GF` pytree; 32x32->64 products are built
-from exact 16x16->32 partial products on the VPU. All ops are elementwise,
-branch-free and shape-polymorphic, so the whole verifier vmaps over a proof
-batch and shards over a device mesh.
+TPUs have no native 64-bit integer datapath, and XLA compiles long chains of
+compare-based carry flags poorly, so field elements are carried as FOUR
+16-bit limb planes held in uint32 lanes: value = sum l_i * 2^(16 i) with
+each limb < 2^16 ("normalized"). In radix-2^16 every carry propagation is a
+shift/add (no compares), limb products are exact in uint32, and the
+p = 2^64 - 2^32 + 1 fold is a handful of additions against pre-borrowed
+constants.
+
+Elements at rest are normalized but may be NON-CANONICAL (a value in
+[p, 2^64) represents value - p). All ring ops are representative-
+independent; the places that need the canonical u64 form (equality, bit
+extraction, exports) canonicalize explicitly.
 
 Mathematical semantics are identical to `gl64_np` (the numpy golden model)
 and to what the reference circuit constrains (reference:
-chip/native_chip/arithmetic_chip.rs:19,98-133 — canonical r < p after every
-mul-add, quadratic extension with x^2 = 7).
+chip/native_chip/arithmetic_chip.rs:19,98-133 — Goldilocks mul-add, with the
+quadratic extension x^2 = 7 layered above in ops/ext2.py).
 """
 from __future__ import annotations
 
@@ -21,163 +28,182 @@ import numpy as np
 P = 0xFFFFFFFF00000001
 EPSILON = 0xFFFFFFFF
 
-_LO16 = np.uint32(0xFFFF)
+_M16 = np.uint32(0xFFFF)
 _16 = np.uint32(16)
-_U32MAX = np.uint32(0xFFFFFFFF)
 _0 = np.uint32(0)
 _1 = np.uint32(1)
 
+IS_JAX = True
+
 
 class GF(NamedTuple):
-    """A Goldilocks element as two uint32 lanes: value = lo + hi * 2^32."""
+    """A Goldilocks element as four 16-bit limbs in uint32 lanes."""
 
-    lo: jnp.ndarray
-    hi: jnp.ndarray
+    l0: jnp.ndarray
+    l1: jnp.ndarray
+    l2: jnp.ndarray
+    l3: jnp.ndarray
 
     @property
     def shape(self):
-        return jnp.shape(self.lo)
+        return jnp.shape(self.l0)
+
+
+def gmap(f, *gs) -> GF:
+    """Apply f across corresponding limb planes."""
+    return GF(*(f(*xs) for xs in zip(*gs)))
 
 
 def _u32(x):
     return jnp.asarray(x, dtype=jnp.uint32)
 
 
-# ---------------------------------------------------------------- conversions
+# ----------------------------------------------------------------- constants
+def _preborrowed(value: int, mins):
+    """(l0..l3, fold) such that value === sum l_i 2^(16 i) + fold (mod p),
+    l_i >= mins[i], fold the EPSILON-folded image of the >=2^64 part.
+    Subtracting per-limb quantities <= mins[i] then needs no borrows."""
+    limbs = []
+    rem = value
+    for m in mins:
+        li = rem & 0xFFFF
+        rem >>= 16
+        while li < m:
+            li += 1 << 16
+            rem -= 1
+        limbs.append(li)
+    assert rem >= 0
+    fold = rem * EPSILON  # rem * 2^64 === rem * EPSILON (mod p)
+    assert fold < 1 << 52
+    out = [limbs[i] + ((fold >> (16 * i)) & 0xFFFF) for i in range(4)]
+    return [np.uint32(x) for x in out]
+
+
+# 2p with limbs >= 0xffff: for neg/sub (operand limbs are < 2^16)
+_D_NEG = _preborrowed(2 * P, [0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF])
+# 2p with limbs 0,1 >= 2*0xffff: for the mul fold (subtracts m+h per limb)
+_D_MUL = _preborrowed(2 * P, [2 * 0xFFFF, 2 * 0xFFFF, 0, 0])
+
+
+# --------------------------------------------------------------- conversions
 def from_u64(x) -> GF:
     """numpy uint64 array (or python int) -> GF."""
     a = np.asarray(x, dtype=np.uint64)
-    return GF(_u32(a & np.uint64(0xFFFFFFFF)), _u32(a >> np.uint64(32)))
+    return GF(
+        _u32(a & np.uint64(0xFFFF)),
+        _u32((a >> np.uint64(16)) & np.uint64(0xFFFF)),
+        _u32((a >> np.uint64(32)) & np.uint64(0xFFFF)),
+        _u32((a >> np.uint64(48)) & np.uint64(0xFFFF)),
+    )
 
 
 def to_u64(x: GF) -> np.ndarray:
-    lo = np.asarray(x.lo, dtype=np.uint64)
-    hi = np.asarray(x.hi, dtype=np.uint64)
-    return lo | (hi << np.uint64(32))
+    x = canonical(x)
+    out = np.zeros(np.shape(np.asarray(x.l0)), dtype=np.uint64)
+    for i in range(4):
+        out |= np.asarray(x[i], dtype=np.uint64) << np.uint64(16 * i)
+    return out
 
 
 def const(v: int, shape=()) -> GF:
     v = v % P
-    return GF(
-        jnp.full(shape, np.uint32(v & 0xFFFFFFFF), dtype=jnp.uint32),
-        jnp.full(shape, np.uint32(v >> 32), dtype=jnp.uint32),
-    )
+    return GF(*(jnp.full(shape, np.uint32((v >> (16 * i)) & 0xFFFF), jnp.uint32)
+                for i in range(4)))
 
 
 def zeros(shape=()) -> GF:
-    return GF(jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
+    z = jnp.zeros(shape, jnp.uint32)
+    return GF(z, z, z, z)
 
 
 def ones(shape=()) -> GF:
-    return GF(jnp.ones(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
+    z = jnp.zeros(shape, jnp.uint32)
+    return GF(jnp.ones(shape, jnp.uint32), z, z, z)
 
 
-# ---------------------------------------------------------------- u64 helpers
-def _add64(alo, ahi, blo, bhi):
-    """(a + b) mod 2^64 with carry-out."""
-    lo = alo + blo
-    c = (lo < alo).astype(jnp.uint32)
-    h1 = ahi + bhi
-    c1 = (h1 < ahi).astype(jnp.uint32)
-    hi = h1 + c
-    c2 = (hi < h1).astype(jnp.uint32)
-    return lo, hi, c1 | c2
+# ------------------------------------------------------------ normalization
+def _carry_pass(c0, c1, c2, c3):
+    r = c0
+    o0 = r & _M16
+    r = (r >> _16) + c1
+    o1 = r & _M16
+    r = (r >> _16) + c2
+    o2 = r & _M16
+    r = (r >> _16) + c3
+    o3 = r & _M16
+    return o0, o1, o2, o3, r >> _16
 
 
-def _sub64(alo, ahi, blo, bhi):
-    """(a - b) mod 2^64 with borrow-out."""
-    lo = alo - blo
-    b0 = (alo < blo).astype(jnp.uint32)
-    h1 = ahi - bhi
-    b1 = (ahi < bhi).astype(jnp.uint32)
-    hi = h1 - b0
-    b2 = (h1 < b0).astype(jnp.uint32)
-    return lo, hi, b1 | b2
+def _renorm4(c0, c1, c2, c3):
+    """Columns (each < 2^31, value < 2^80) -> normalized GF, mod-p folded.
+
+    Three carry passes with t*2^64 === t*EPSILON folds between them; bounds:
+    after pass 1 the value is < 2^64 + 2^48, after pass 2 it is < 2^64, so
+    pass 3 cannot overflow."""
+    for _ in range(2):
+        c0, c1, c2, c3, t = _carry_pass(c0, c1, c2, c3)
+        # t * EPSILON: EPSILON = 0xffff + 0xffff * 2^16
+        tm = t * _M16
+        c0 = c0 + tm
+        c1 = c1 + tm
+    c0, c1, c2, c3, _t = _carry_pass(c0, c1, c2, c3)
+    return GF(c0, c1, c2, c3)
 
 
-def _mul32_wide(a, b):
-    """Exact 32x32 -> 64 product as (lo, hi) uint32, via 16-bit partials."""
-    a0 = a & _LO16
-    a1 = a >> _16
-    b0 = b & _LO16
-    b1 = b >> _16
-    p00 = a0 * b0
-    p01 = a0 * b1
-    p10 = a1 * b0
-    p11 = a1 * b1
-    mid = (p00 >> _16) + (p01 & _LO16) + (p10 & _LO16)  # < 2^18, exact
-    lo = (p00 & _LO16) | ((mid & _LO16) << _16)
-    hi = p11 + (p01 >> _16) + (p10 >> _16) + (mid >> _16)
-    return lo, hi
-
-
-# ---------------------------------------------------------------- field ops
-def _canonical(lo, hi):
-    """One conditional subtract of p; input must be < p + 2^63-ish."""
-    ge = ((hi == _U32MAX) & (lo >= _1)).astype(jnp.uint32)
-    return GF(lo - ge, hi + ge)  # (lo-1, hi+1 == 0) when subtracting p
-
-
+# ----------------------------------------------------------------- field ops
 def add(a: GF, b: GF) -> GF:
-    lo, hi, of = _add64(a.lo, a.hi, b.lo, b.hi)
-    # + of * EPSILON  (2^64 === EPSILON mod p); cannot re-overflow for
-    # canonical inputs (a+b-2^64 <= 2^64 - 2^33).
-    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
-    return _canonical(lo, hi)
+    return _renorm4(a.l0 + b.l0, a.l1 + b.l1, a.l2 + b.l2, a.l3 + b.l3)
 
 
 def sub(a: GF, b: GF) -> GF:
-    lo, hi, bo = _sub64(a.lo, a.hi, b.lo, b.hi)
-    # - bo * EPSILON
-    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
-    return _canonical(lo, hi)
+    d = _D_NEG
+    return _renorm4(
+        a.l0 + (d[0] - b.l0),
+        a.l1 + (d[1] - b.l1),
+        a.l2 + (d[2] - b.l2),
+        a.l3 + (d[3] - b.l3),
+    )
 
 
 def neg(a: GF) -> GF:
-    return sub(GF(jnp.zeros_like(a.lo), jnp.zeros_like(a.hi)), a)
-
-
-def mul128(a: GF, b: GF):
-    """Full 64x64 -> 128 product as four uint32 limbs (x0..x3, LE)."""
-    l0, l1 = _mul32_wide(a.lo, b.lo)
-    m0, m1 = _mul32_wide(a.lo, b.hi)
-    n0, n1 = _mul32_wide(a.hi, b.lo)
-    h0, h1 = _mul32_wide(a.hi, b.hi)
-    x0 = l0
-    x1 = l1 + m0
-    c1 = (x1 < l1).astype(jnp.uint32)
-    x1b = x1 + n0
-    c1b = (x1b < x1).astype(jnp.uint32)
-    x2 = h0 + m1
-    c2 = (x2 < h0).astype(jnp.uint32)
-    x2b = x2 + n1
-    c2b = (x2b < x2).astype(jnp.uint32)
-    x2c = x2b + c1 + c1b  # carries are tiny; cannot overflow past 1 extra
-    c2c = (x2c < x2b).astype(jnp.uint32)
-    x3 = h1 + c2 + c2b + c2c
-    return x0, x1b, x2c, x3
-
-
-def reduce128(x0, x1, x2, x3) -> GF:
-    """(x0 + x1 2^32 + x2 2^64 + x3 2^96) mod p, canonical.
-
-    2^64 === 2^32 - 1 and 2^96 === -1 (mod p).
-    """
-    # t0 = lo64 - x3
-    lo, hi, bo = _sub64(x0, x1, x3, jnp.zeros_like(x3))
-    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
-    # t1 = x2 * EPSILON = (x2 << 32) - x2
-    t1lo = _0 - x2
-    t1bo = (x2 != _0).astype(jnp.uint32)
-    t1hi = x2 - t1bo
-    # t2 = t0 + t1 (+ EPSILON on carry)
-    lo, hi, of = _add64(lo, hi, t1lo, t1hi)
-    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
-    return _canonical(lo, hi)
+    d = _D_NEG
+    return _renorm4(d[0] - a.l0, d[1] - a.l1, d[2] - a.l2, d[3] - a.l3)
 
 
 def mul(a: GF, b: GF) -> GF:
-    return reduce128(*mul128(a, b))
+    # schoolbook 4x4 limb products, accumulated as split lo/hi 16-bit parts
+    # (sums of <= 4 terms < 2^18: exact, compare-free)
+    al = list(a)[:4]
+    bl = list(b)[:4]
+    colL = [None] * 7
+    colH = [None] * 7
+    for i in range(4):
+        for j in range(4):
+            prod = al[i] * bl[j]
+            k = i + j
+            lo = prod & _M16
+            hi = prod >> _16
+            colL[k] = lo if colL[k] is None else colL[k] + lo
+            colH[k] = hi if colH[k] is None else colH[k] + hi
+    C = [colL[0]]
+    for k in range(1, 7):
+        C.append(colL[k] + colH[k - 1])
+    C.append(colH[6])
+    # carry-normalize to eight 16-bit columns (product < 2^128: no overflow)
+    e = []
+    r = C[0]
+    for k in range(8):
+        e.append(r & _M16)
+        r = (r >> _16) + (C[k + 1] if k + 1 < 8 else _0)
+    # fold: E + M*2^64 + H*2^96 === E + (M<<32) - M - H (mod p), with
+    # M = e4..e5, H = e6..e7; kept positive via pre-borrowed 2p.
+    d = _D_MUL
+    return _renorm4(
+        e[0] + (d[0] - (e[4] + e[6])),
+        e[1] + (d[1] - (e[5] + e[7])),
+        e[2] + d[2] + e[4],
+        e[3] + d[3] + e[5],
+    )
 
 
 def mul_add(a: GF, b: GF, c: GF) -> GF:
@@ -189,90 +215,127 @@ def square(a: GF) -> GF:
 
 
 def pow_const(a: GF, e: int) -> GF:
-    """a**e for a static python-int exponent."""
-    result = ones(a.shape)
+    """a**e for a static python-int exponent (unrolled square&multiply)."""
+    result = None
     base = a
-    first = True
     while e > 0:
         if e & 1:
-            result = base if first else mul(result, base)
-            first = False
+            result = base if result is None else mul(result, base)
         e >>= 1
         if e:
             base = square(base)
-    return result if not first else ones(a.shape)
+    return result if result is not None else ones(a.shape)
+
+
+def _pminus2_bits():
+    e = P - 2
+    return np.array([(e >> i) & 1 for i in range(64)], dtype=np.uint32)
+
+
+_PM2_BITS = None
 
 
 def inv(a: GF) -> GF:
-    """Fermat inverse a^(p-2); inv(0) = 0."""
-    return pow_const(a, P - 2)
+    """Fermat inverse a^(p-2) via fori_loop (compact trace); inv(0) = 0."""
+    import jax
+
+    global _PM2_BITS
+    if _PM2_BITS is None:
+        _PM2_BITS = _pminus2_bits()  # numpy: traces as a constant
+    bits = jnp.asarray(_PM2_BITS)
+
+    def body(i, carry):
+        result, base = carry
+        b = bits[i]
+        result = select(b == 1, mul(result, base), result)
+        return (result, square(base))
+
+    result, _ = jax.lax.fori_loop(0, 64, body, (ones(a.shape), a))
+    return result
+
+
+# -------------------------------------------------------------- canonicalize
+def canonical(a: GF) -> GF:
+    """Reduce the representative into [0, p)."""
+    ge = (a.l3 == _M16) & (a.l2 == _M16) & ((a.l1 | a.l0) != _0)
+    # v - p == (v + EPSILON) mod 2^64 when v >= p
+    r0, r1, r2, r3, _t = _carry_pass(a.l0 + _M16, a.l1 + _M16, a.l2, a.l3)
+    return select(ge, GF(r0, r1, r2, r3), a)
 
 
 def is_zero(a: GF):
-    return (a.lo == _0) & (a.hi == _0)
+    c = canonical(a)
+    return (c.l0 | c.l1 | c.l2 | c.l3) == _0
 
 
 def equal(a: GF, b: GF):
-    return (a.lo == b.lo) & (a.hi == b.hi)
-
-
-def select(mask, a: GF, b: GF) -> GF:
-    """mask ? a : b (mask: bool array broadcastable to element shape)."""
-    return GF(jnp.where(mask, a.lo, b.lo), jnp.where(mask, a.hi, b.hi))
-
-
-def stack(elems, axis=0) -> GF:
-    return GF(
-        jnp.stack([e.lo for e in elems], axis=axis),
-        jnp.stack([e.hi for e in elems], axis=axis),
+    ca = canonical(a)
+    cb = canonical(b)
+    return (
+        (ca.l0 == cb.l0) & (ca.l1 == cb.l1) & (ca.l2 == cb.l2) & (ca.l3 == cb.l3)
     )
-
-
-def concat(elems, axis=0) -> GF:
-    return GF(
-        jnp.concatenate([e.lo for e in elems], axis=axis),
-        jnp.concatenate([e.hi for e in elems], axis=axis),
-    )
-
-
-def take(a: GF, idx, axis=0) -> GF:
-    return GF(
-        jnp.take(a.lo, idx, axis=axis),
-        jnp.take(a.hi, idx, axis=axis),
-    )
-
-
-def dynamic_index(a: GF, idx) -> GF:
-    """a[idx] along axis 0 for a traced scalar idx."""
-    return GF(
-        jnp.take(a.lo, idx, axis=0),
-        jnp.take(a.hi, idx, axis=0),
-    )
-
-
-def reshape(a: GF, shape) -> GF:
-    return GF(jnp.reshape(a.lo, shape), jnp.reshape(a.hi, shape))
 
 
 def bit(a: GF, i: int):
     """The i-th little-endian bit of the canonical value, as uint32 0/1."""
-    if i < 32:
-        return (a.lo >> np.uint32(i)) & _1
-    return (a.hi >> np.uint32(i - 32)) & _1
+    c = canonical(a)
+    return (c[i // 16] >> np.uint32(i % 16)) & _1
 
 
 def mod_pow2(a: GF, bits: int) -> jnp.ndarray:
     """Canonical value mod 2^bits (bits <= 32), as uint32."""
     assert bits <= 32
+    c = canonical(a)
+    v = c.l0 + (c.l1 << _16)
     if bits == 32:
-        return a.lo
-    return a.lo & np.uint32((1 << bits) - 1)
+        return v
+    return v & np.uint32((1 << bits) - 1)
+
+
+# ------------------------------------------------------------- structure ops
+def select(mask, a: GF, b: GF) -> GF:
+    return gmap(lambda x, y: jnp.where(mask, x, y), a, b)
+
+
+def stack(elems, axis=0) -> GF:
+    return GF(*(jnp.stack([e[i] for e in elems], axis=axis) for i in range(4)))
+
+
+def concat(elems, axis=0) -> GF:
+    return GF(*(jnp.concatenate([e[i] for e in elems], axis=axis) for i in range(4)))
+
+
+def take(a: GF, idx, axis=0) -> GF:
+    return gmap(lambda x: jnp.take(x, idx, axis=axis), a)
+
+
+def dynamic_index(a: GF, idx) -> GF:
+    return take(a, idx, axis=0)
+
+
+def reshape(a: GF, shape) -> GF:
+    return gmap(lambda x: jnp.reshape(x, shape), a)
 
 
 def unstack(a: GF):
-    return [GF(a.lo[i], a.hi[i]) for i in range(a.lo.shape[0])]
+    return [index(a, i) for i in range(a.l0.shape[0])]
 
 
+def index(a: GF, sl) -> GF:
+    """a[sl] on every plane (sl may be any numpy-style index)."""
+    return gmap(lambda x: x[sl], a)
+
+
+def sum_axis0(a: GF) -> GF:
+    """Sum of a stacked GF along axis 0 (mod p): one vector sum per plane
+    plus a renorm (n <= 2^14 keeps columns < 2^30)."""
+    n = a.l0.shape[0]
+    assert n < (1 << 14)
+    c = [jnp.sum(x, axis=0, dtype=jnp.uint32) for x in a]
+    return _renorm4(c[0], c[1], c[2], c[3])
+
+
+# -------------------------------------------------------------------- Poseidon
 def _mds12_matrix():
     from ._poseidon_gl_constants import MDS_MATRIX_CIRC, MDS_MATRIX_DIAG
 
@@ -290,43 +353,28 @@ _MDS12 = _mds12_matrix()
 def mds12(state: GF) -> GF:
     """Poseidon width-12 MDS multiply on stacked state (leading dim 12).
 
-    MDS entries are <= 49 (6 bits): split each element into four exact 16-bit
-    limbs, take integer limb x matrix products on uint32 lanes (column sums
-    < 2^26, no overflow), renormalize, and reduce mod p once per output.
-    """
+    MDS entries are <= 49: per-limb-plane integer matmul stays exact in
+    uint32 (column sums < 2^26), one renorm for the whole layer."""
     m = jnp.asarray(_MDS12)
-    limbs = jnp.stack(
-        [
-            state.lo & _LO16,
-            state.lo >> _16,
-            state.hi & _LO16,
-            state.hi >> _16,
-        ]
-    )  # [4, 12, ...]
-    cols = jnp.einsum("rj,kj...->kr...", m, limbs)  # exact in uint32
-    c0, c1, c2, c3 = cols[0], cols[1], cols[2], cols[3]
-    # value = c0 + c1*2^16 + c2*2^32 + c3*2^48, each c < 2^26
-    t01 = (c0 >> _16) + c1                    # < 2^27
-    x0 = (c0 & _LO16) | ((t01 & _LO16) << _16)
-    t2 = (t01 >> _16) + c2                    # < 2^27
-    t3 = (t2 >> _16) + c3                     # < 2^27
-    x1 = (t2 & _LO16) | ((t3 & _LO16) << _16)
-    x2 = t3 >> _16                            # < 2^11
-    return reduce128(x0, x1, x2, jnp.zeros_like(x2))
+    cols = [jnp.einsum("rj,j...->r...", m, plane) for plane in a_tuple(state)]
+    return _renorm4(cols[0], cols[1], cols[2], cols[3])
 
 
-# ------------------------------------------------- scan-based Poseidon core
-# A compact-trace Poseidon permutation: three lax.scans (full/partial/full)
-# whose bodies are traced once, keeping the XLA graph small even though the
-# transcript replays hundreds of sequential permutations.
+def a_tuple(g: GF):
+    return (g.l0, g.l1, g.l2, g.l3)
+
+
 def _rc_table():
     from ._poseidon_gl_constants import ALL_ROUND_CONSTANTS
 
     rc = np.asarray(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, 12)
-    return (
-        jnp.asarray(rc & np.uint64(0xFFFFFFFF), dtype=jnp.uint32),
-        jnp.asarray(rc >> np.uint64(32), dtype=jnp.uint32),
+    return tuple(
+        ((rc >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
+        for i in range(4)
     )
+
+
+_RC_PLANES = None
 
 
 def _sbox7(x: GF) -> GF:
@@ -340,77 +388,27 @@ def permute12(state: GF) -> GF:
     """Poseidon permutation on stacked state GF[12, ...] via lax.scan."""
     import jax
 
-    rc_lo, rc_hi = _rc_table()
-    extra = (1,) * (state.lo.ndim - 1)
+    global _RC_PLANES
+    if _RC_PLANES is None:
+        _RC_PLANES = _rc_table()
+    rc = _RC_PLANES
+    extra = (1,) * (state.l0.ndim - 1)
 
-    def add_rc(s: GF, rc_l, rc_h) -> GF:
-        return add(s, GF(rc_l.reshape((12,) + extra), rc_h.reshape((12,) + extra)))
+    def add_rc(s: GF, rcs) -> GF:
+        return add(s, GF(*(r.reshape((12,) + extra) for r in rcs)))
 
-    def full_round(s, rc):
-        s = add_rc(s, rc[0], rc[1])
+    def full_round(s, rcs):
+        s = add_rc(s, rcs)
         s = _sbox7(s)
         return mds12(s), None
 
-    def partial_round(s, rc):
-        s = add_rc(s, rc[0], rc[1])
-        lane0 = _sbox7(GF(s.lo[0], s.hi[0]))
-        s = GF(s.lo.at[0].set(lane0.lo), s.hi.at[0].set(lane0.hi))
+    def partial_round(s, rcs):
+        s = add_rc(s, rcs)
+        lane0 = _sbox7(index(s, 0))
+        s = GF(*(p.at[0].set(l) for p, l in zip(s, lane0)))
         return mds12(s), None
 
-    state, _ = jax.lax.scan(full_round, state, (rc_lo[:4], rc_hi[:4]))
-    state, _ = jax.lax.scan(partial_round, state, (rc_lo[4:26], rc_hi[4:26]))
-    state, _ = jax.lax.scan(full_round, state, (rc_lo[26:], rc_hi[26:]))
+    state, _ = jax.lax.scan(full_round, state, tuple(r[:4] for r in rc))
+    state, _ = jax.lax.scan(partial_round, state, tuple(r[4:26] for r in rc))
+    state, _ = jax.lax.scan(full_round, state, tuple(r[26:] for r in rc))
     return state
-
-
-IS_JAX = True
-
-
-def _pminus2_bits():
-    e = P - 2
-    return np.array([(e >> i) & 1 for i in range(64)], dtype=np.uint32)
-
-
-_PM2_BITS = None
-
-
-def inv_scan(a: GF) -> GF:
-    """Fermat inverse via fori_loop (compact trace); inv(0) = 0."""
-    import jax
-
-    global _PM2_BITS
-    if _PM2_BITS is None:
-        _PM2_BITS = jnp.asarray(_pminus2_bits())
-    bits = _PM2_BITS
-
-    def body(i, carry):
-        result, base = carry
-        b = bits[i]
-        result = select(b == 1, mul(result, base), result)
-        return (result, square(base))
-
-    result, _ = jax.lax.fori_loop(0, 64, body, (ones(a.shape), a))
-    return result
-
-
-inv = inv_scan  # override the unrolled square-and-multiply
-
-
-def sum_axis0(a: GF) -> GF:
-    """Tree-sum of a stacked GF array along axis 0 (mod p)."""
-    n = a.lo.shape[0]
-    while n > 1:
-        half = n // 2
-        lo_part = GF(a.lo[:half], a.hi[:half])
-        hi_part = GF(a.lo[half : 2 * half], a.hi[half : 2 * half])
-        s = add(lo_part, hi_part)
-        if n % 2:
-            s = GF(
-                jnp.concatenate([s.lo, a.lo[2 * half :]]),
-                jnp.concatenate([s.hi, a.hi[2 * half :]]),
-            )
-            n = half + 1
-        else:
-            n = half
-        a = s
-    return GF(a.lo[0], a.hi[0])

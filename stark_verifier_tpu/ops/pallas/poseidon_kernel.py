@@ -1,0 +1,217 @@
+"""Fused Poseidon-over-Goldilocks permutation as a Pallas TPU kernel.
+
+The whole 30-round permutation (8 full + 22 partial rounds, alpha=7, dense
+12x12 MDS) runs as ONE kernel on the VPU, with the batch in the lane
+dimension: state layout is u32[12, B] x2 (lo/hi planes). Goldilocks
+arithmetic uses exact 16x16->32 partial products and the p = 2^64-2^32+1
+fold (identical math to ops/gl64_jax.py, which is the golden model here).
+
+This single kernel replaces hundreds of XLA-graph permutations in the
+verifier's transcript and Merkle stages — it is the framework's hottest op
+(reference workload analogy: chip/hasher_chip.rs + merkle_proof_chip.rs are
+the row-count hot spots of the reference circuit).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._poseidon_gl_constants import (
+    ALL_ROUND_CONSTANTS,
+    HALF_N_FULL_ROUNDS,
+    MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG,
+    N_PARTIAL_ROUNDS,
+    WIDTH,
+)
+
+_LO16 = np.uint32(0xFFFF)
+_16 = np.uint32(16)
+_U32MAX = np.uint32(0xFFFFFFFF)
+_0 = np.uint32(0)
+_1 = np.uint32(1)
+
+_RC = np.asarray(ALL_ROUND_CONSTANTS, np.uint64).reshape(30, WIDTH)
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+
+_MDS = np.zeros((WIDTH, WIDTH), np.uint32)
+for _r in range(WIDTH):
+    for _j in range(WIDTH):
+        _MDS[_r, _j] = MDS_MATRIX_CIRC[(_j - _r) % WIDTH]
+    _MDS[_r, _r] += MDS_MATRIX_DIAG[_r]
+
+
+def _mul_gl(alo, ahi, blo, bhi):
+    """Goldilocks mul on u32 lanes (same algorithm as gl64_jax.mul)."""
+
+    def mul32(a, b):
+        a0, a1 = a & _LO16, a >> _16
+        b0, b1 = b & _LO16, b >> _16
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        mid = (p00 >> _16) + (p01 & _LO16) + (p10 & _LO16)
+        lo = (p00 & _LO16) + ((mid & _LO16) << _16)
+        hi = p11 + (p01 >> _16) + (p10 >> _16) + (mid >> _16)
+        return lo, hi
+
+    l0, l1 = mul32(alo, blo)
+    m0, m1 = mul32(alo, bhi)
+    n0, n1 = mul32(ahi, blo)
+    h0, h1 = mul32(ahi, bhi)
+    x1 = l1 + m0
+    c1 = (x1 < l1).astype(jnp.uint32)
+    x1b = x1 + n0
+    c1b = (x1b < x1).astype(jnp.uint32)
+    x2 = h0 + m1
+    c2 = (x2 < h0).astype(jnp.uint32)
+    x2b = x2 + n1
+    c2b = (x2b < x2).astype(jnp.uint32)
+    x2c = x2b + c1 + c1b
+    c2c = (x2c < x2b).astype(jnp.uint32)
+    x3 = h1 + c2 + c2b + c2c
+    return _reduce128(l0, x1b, x2c, x3)
+
+
+def _add64(alo, ahi, blo, bhi):
+    lo = alo + blo
+    c = (lo < alo).astype(jnp.uint32)
+    h1 = ahi + bhi
+    c1 = (h1 < ahi).astype(jnp.uint32)
+    hi = h1 + c
+    c2 = (hi < h1).astype(jnp.uint32)
+    return lo, hi, c1 | c2
+
+
+def _sub64(alo, ahi, blo, bhi):
+    lo = alo - blo
+    b0 = (alo < blo).astype(jnp.uint32)
+    h1 = ahi - bhi
+    b1 = (ahi < bhi).astype(jnp.uint32)
+    hi = h1 - b0
+    b2 = (h1 < b0).astype(jnp.uint32)
+    return lo, hi, b1 | b2
+
+
+def _canonical(lo, hi):
+    ge = ((hi == _U32MAX) & (lo >= _1)).astype(jnp.uint32)
+    return lo - ge, hi + ge
+
+
+def _reduce128(x0, x1, x2, x3):
+    lo, hi, bo = _sub64(x0, x1, x3, jnp.zeros_like(x3))
+    lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
+    t1lo = _0 - x2
+    t1bo = (x2 != _0).astype(jnp.uint32)
+    t1hi = x2 - t1bo
+    lo, hi, of = _add64(lo, hi, t1lo, t1hi)
+    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
+    return _canonical(lo, hi)
+
+
+def _add_gl(alo, ahi, blo, bhi):
+    lo, hi, of = _add64(alo, ahi, blo, bhi)
+    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
+    return _canonical(lo, hi)
+
+
+def _mds_limb(state_lo, state_hi):
+    """MDS multiply on [12, B] planes via exact 16-bit limb matmul."""
+    m = jnp.asarray(_MDS)
+    limbs = [
+        state_lo & _LO16,
+        state_lo >> _16,
+        state_hi & _LO16,
+        state_hi >> _16,
+    ]
+    cols = [
+        jax.lax.dot_general(
+            m, l, (((1,), (0,)), ((), ())), preferred_element_type=jnp.uint32
+        )
+        for l in limbs
+    ]
+    c0, c1, c2, c3 = cols
+    t01 = (c0 >> _16) + c1
+    x0 = (c0 & _LO16) + ((t01 & _LO16) << _16)
+    t2 = (t01 >> _16) + c2
+    t3 = (t2 >> _16) + c3
+    x1 = (t2 & _LO16) + ((t3 & _LO16) << _16)
+    x2 = t3 >> _16
+    return _reduce128(x0, x1, x2, jnp.zeros_like(x2))
+
+
+def _sbox7(lo, hi):
+    l2, h2 = _mul_gl(lo, hi, lo, hi)
+    l3, h3 = _mul_gl(l2, h2, lo, hi)
+    l4, h4 = _mul_gl(l2, h2, l2, h2)
+    return _mul_gl(l3, h3, l4, h4)
+
+
+def _permute_planes(lo, hi):
+    """The full permutation on [12, B] u32 planes (pure jnp; usable both
+    inside the Pallas kernel and as an XLA fallback)."""
+    rc_lo = jnp.asarray(_RC_LO)
+    rc_hi = jnp.asarray(_RC_HI)
+    r = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
+        lo, hi = _sbox7(lo, hi)
+        lo, hi = _mds_limb(lo, hi)
+        r += 1
+    for _ in range(N_PARTIAL_ROUNDS):
+        lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
+        s0l, s0h = _sbox7(lo[:1], hi[:1])
+        lo = jnp.concatenate([s0l, lo[1:]], axis=0)
+        hi = jnp.concatenate([s0h, hi[1:]], axis=0)
+        lo, hi = _mds_limb(lo, hi)
+        r += 1
+    for _ in range(HALF_N_FULL_ROUNDS):
+        lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
+        lo, hi = _sbox7(lo, hi)
+        lo, hi = _mds_limb(lo, hi)
+        r += 1
+    return lo, hi
+
+
+def _kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    lo, hi = _permute_planes(lo_ref[...], hi_ref[...])
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
+def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024):
+    """Batched permutation: lo/hi u32[12, B] -> (u32[12, B], u32[12, B]).
+
+    One fused Pallas kernel per `block_b` batch tile.
+    """
+    from jax.experimental import pallas as pl
+
+    B = lo.shape[1]
+    if B < 128:
+        # small batches: plain XLA path (kernel wants full lanes)
+        return _permute_planes(lo, hi)
+    bb = min(block_b, B)
+    if B % bb:
+        return _permute_planes(lo, hi)
+    grid = (B // bb,)
+    spec = pl.BlockSpec((WIDTH, bb), lambda i: (0, i))
+    out_shape = [
+        jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
+        jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
+    ]
+    return tuple(
+        pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(lo, hi)
+    )

@@ -80,17 +80,11 @@ def absorb_chunks_scan(F, state, chunks):
     shape = state[0].shape
     flat = [F.add(e, F.zeros(shape)) for ch in chunks for e in ch]
     xs = F.stack(flat)  # [k*8, ...]
-    from ..ops.gl64_jax import GF
-    import jax.numpy as jnp
-
     k = len(chunks)
-    xs = GF(xs.lo.reshape((k, RATE) + shape), xs.hi.reshape((k, RATE) + shape))
+    xs = F.reshape(xs, (k, RATE) + shape)
 
     def body(st, chunk):
-        st = GF(
-            jnp.concatenate([chunk.lo, st.lo[RATE:]], axis=0),
-            jnp.concatenate([chunk.hi, st.hi[RATE:]], axis=0),
-        )
+        st = F.concat([chunk, F.index(st, slice(RATE, None))], axis=0)
         return permute(F, st), None
 
     st, _ = jax.lax.scan(body, F.stack(state), xs)

@@ -80,6 +80,18 @@ class ArithmeticGate(Gate):
 
     def eval_unfiltered(self, R, C, W, pi):
         c0, c1 = C[0], C[1]
+        if _is_jax_ext_ring(R):
+            F = R.F
+            from ..ops import ext2
+
+            m0 = _se_stack(F, [W[4 * i] for i in range(self.num_ops)])
+            m1 = _se_stack(F, [W[4 * i + 1] for i in range(self.num_ops)])
+            ad = _se_stack(F, [W[4 * i + 2] for i in range(self.num_ops)])
+            ou = _se_stack(F, [W[4 * i + 3] for i in range(self.num_ops)])
+            computed = ext2.add(
+                F, ext2.mul(F, ext2.mul(F, m0, m1), c0), ext2.mul(F, ad, c1)
+            )
+            return _se_unstack_1d(F, ext2.sub(F, ou, computed))
         out = []
         for i in range(self.num_ops):
             w0, w1, wa, wo = self.wires(i)
@@ -171,6 +183,14 @@ class BaseSumGate(Gate):
         limbs = [W[self.START_LIMBS + i] for i in range(self.num_limbs)]
         computed = R.reduce_with_powers(base, limbs)
         out = [R.sub(computed, W[self.WIRE_SUM])]
+        if _is_jax_ext_ring(R):
+            F = R.F
+            from ..ops import ext2
+
+            st = _se_stack(F, limbs)
+            boo = ext2.mul(F, st, ext2.sub(F, st, (F.ones(st[0].shape), F.zeros(st[0].shape))))
+            out.extend(_se_unstack_1d(F, boo))
+            return out
         for limb in limbs:
             # prod_{i<2} (limb - i) = limb * (limb - 1)
             out.append(R.mul(limb, R.sub(limb, R.one())))

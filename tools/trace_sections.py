@@ -71,7 +71,7 @@ def sec_vanish(pa_gf):
     ch = mk_ch()
     pi_hash = [gj.from_u64(h) for h in pi_hash_np]
     van, zpd = V.eval_vanishing_poly(gj, data.common, ch, pa_gf, pi_hash)
-    return van[0][0].lo
+    return van[0][0].l0
 
 
 def sec_fri(pa_gf):

@@ -165,3 +165,26 @@ def _merkle_walk_scan(F, state4, index_bits, siblings):
 
     st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs))
     return F.unstack(st)
+
+
+def merkle_walk_scan_masked(F, state4, bits_mat, sibs, valid):
+    """Masked scan path walk (JAX): bits_mat [d, ...] uint, sibs GF
+    [d, 4, ...], valid [d] bool — padded levels pass the state through."""
+    import jax
+    import jax.numpy as jnp
+
+    shape = _shape_of(state4[0])
+    masks = jnp.broadcast_to(jnp.asarray(bits_mat != 0), bits_mat.shape[:1] + shape)
+    cap_zeros = F.zeros((4,) + shape)
+    validb = jnp.asarray(valid, dtype=bool)
+
+    def body(st, xs):
+        mask, sib, v = xs
+        left = F.select(mask, sib, st)
+        right = F.select(mask, st, sib)
+        st12 = F.concat([left, right, cap_zeros], axis=0)
+        out = F.index(pg.permute(F, st12), slice(0, 4))
+        return F.select(v, out, st), None
+
+    st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs, validb))
+    return F.unstack(st)

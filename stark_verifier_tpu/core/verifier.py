@@ -376,20 +376,47 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
     else:
         cap_index = _uint_from_bits([_as_i32(b) for b in bits[lde_bits - cap_height :]])
 
-    # ---- initial tree proofs (4 oracles), batched over queries
+    # ---- initial tree proofs: leaf-hash each oracle, then ONE merged path
+    # walk over 4*Q lanes (the 4 oracle trees share depth and index bits)
     oracles = common.fri_oracles()
     depth = lde_bits - cap_height
     caps = [vk_cap, pa["wires_cap"], pa["zs_pp_cap"], pa["quotient_cap"]]
+    states = []
     for o in range(4):
-        evals = pa[f"init_evals_{o}"]       # [Q, L]
-        sibs = pa[f"init_sibs_{o}"]         # [Q, depth, 4]
-        leaf = _scalar_list(F, evals)
-        siblings = [
-            [_col(F, _col_axis(F, sibs, d, axis=-2), i) for i in range(4)]
-            for d in range(depth)
+        leaf = _scalar_list(F, pa[f"init_evals_{o}"])
+        states.append(pg.hash_or_noop(F, leaf, shape=_shape(leaf[0])))
+    big_state = [F.concat([states[o][i] for o in range(4)], axis=0) for i in range(4)]
+    big_bits = [
+        _tile4(F, b) for b in bits[:depth]
+    ]
+    big_sibs = [
+        [
+            F.concat(
+                [_col(F, _col_axis(F, pa[f"init_sibs_{o}"], d, axis=-2), i)
+                 for o in range(4)],
+                axis=0,
+            )
+            for i in range(4)
         ]
-        res = verify_merkle_proof_to_cap(F, leaf, bits[:depth], siblings, caps[o], cap_index)
-        ok = ok & _all(res)
+        for d in range(depth)
+    ]
+    from .merkle import _merkle_walk_scan
+
+    if getattr(F, "IS_JAX", False) and depth >= 2:
+        big_state = _merkle_walk_scan(F, big_state, big_bits, big_sibs)
+    else:
+        for b, sib in zip(big_bits, big_sibs):
+            mask = b != 0
+            left = [F.select(mask, sib[i], big_state[i]) for i in range(4)]
+            right = [F.select(mask, big_state[i], sib[i]) for i in range(4)]
+            big_state = pg.two_to_one(F, left, right, shape=_shape(left[0]))
+    nq_lanes = _shape(bits[0])[0] if _shape(bits[0]) else 1
+    for o in range(4):
+        expected = F.take(caps[o], cap_index, axis=0)  # [Q, 4]
+        for i in range(4):
+            lane = F.index(big_state[i], slice(o * nq_lanes, (o + 1) * nq_lanes))
+            eq = F.equal(_col(F, expected, i), lane)
+            ok = ok & _all(eq)
 
     # ---- x = g * omega^rev(index)
     x = F.mul(F.const(GENERATOR, _shape(bits[0])), _exp_from_bits_rev(F, omega, bits))
@@ -429,6 +456,13 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
     prev_eval = summ
 
     # ---- fold phase
+    n_layers = len(fp.reduction_arity_bits)
+    if (getattr(F, "IS_JAX", False) and n_layers >= 2
+            and all(a == 1 for a in fp.reduction_arity_bits)):
+        prev_eval, x, ok = _fold_layers_scan(
+            F, common, ch, pa, bits, cap_index, prev_eval, x, ok)
+        cur_bits = bits[n_layers:]
+        return _fri_final(F, common, pa, prev_eval, x, ok)
     cur_bits = bits
     for li, arity_bits in enumerate(fp.reduction_arity_bits):
         assert arity_bits == 1, "arity-2 folds (ConstantArityBits(1, k)); wider arities TODO"
@@ -465,13 +499,109 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
         x = F.mul(x, x)
         cur_bits = coset_bits
 
-    # ---- final polynomial
+    return _fri_final(F, common, pa, prev_eval, x, ok)
+
+
+def _fri_final(F, common, pa, prev_eval, x, ok):
+    """Final FRI check: the folded evaluation equals the committed final
+    polynomial at x (reference: chip/fri_chip.rs:317-325)."""
     final_coeffs = [
         _broadcast_ext(F, e, _shape(x)) for e in _ext_list(F, pa["final_poly"])
     ]
     final_eval = ext2.reduce_with_powers(F, (x, F.zeros(_shape(x))), final_coeffs)
     ok = ok & _all(ext2.equal(F, prev_eval, final_eval))
     return ok
+
+
+def _fold_layers_scan(F, common, ch, pa, bits, cap_index, prev_eval, x, ok):
+    """All arity-2 fold layers as one lax.scan; per-layer Merkle paths of
+    decreasing depth are padded to the first layer's depth with pass-through
+    masking (reference: chip/fri_chip.rs:275-316, vectorized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .merkle import merkle_walk_scan_masked
+
+    fp = common.fri_params
+    lde_bits = fp.lde_bits
+    cap_height = fp.config.cap_height
+    L = len(fp.reduction_arity_bits)
+    d_max = lde_bits - 1 - cap_height
+    qshape = _shape(x)
+
+    # stacked per-layer inputs
+    ev = [pa[f"step_evals_{li}"] for li in range(L)]
+    e0c0 = F.stack([_col(F, _col_axis(F, e, 0, axis=-2), 0) for e in ev])  # [L, Q]
+    e0c1 = F.stack([_col(F, _col_axis(F, e, 0, axis=-2), 1) for e in ev])
+    e1c0 = F.stack([_col(F, _col_axis(F, e, 1, axis=-2), 0) for e in ev])
+    e1c1 = F.stack([_col(F, _col_axis(F, e, 1, axis=-2), 1) for e in ev])
+    beta0 = F.stack([b[0] for b in ch.fri_betas])  # [L]
+    beta1 = F.stack([b[1] for b in ch.fri_betas])
+    caps = pa["commit_phase_caps"]  # GF [L, cap, 4]
+
+    # sibling tensors padded to d_max: [L, d_max, 4, Q]
+    sib_layers = []
+    for li in range(L):
+        d_i = (lde_bits - li - 1) - cap_height
+        s = pa[f"step_sibs_{li}"]  # [Q, d_i, 4]
+        planes = F.stack(
+            [F.stack([_col(F, _col_axis(F, s, d, axis=-2), i) for i in range(4)])
+             for d in range(d_i)]
+        ) if d_i > 0 else F.zeros((0, 4) + qshape)
+        pad = F.zeros((d_max - d_i, 4) + qshape)
+        sib_layers.append(F.concat([planes, pad], axis=0) if d_i < d_max else planes)
+    sibs_all = F.stack(sib_layers)  # [L, d_max, 4, Q]
+    valid = np.zeros((L, d_max), dtype=bool)
+    for li in range(L):
+        valid[li, : (lde_bits - li - 1) - cap_height] = True
+
+    # bits matrices: layer li consumes bit li (coset parity) and walk bits
+    # li+1 .. li+d_i (plus padding)
+    bits_arr = jnp.stack([jnp.broadcast_to(jnp.asarray(b), qshape) for b in bits])
+    pad_bits = jnp.zeros((d_max,) + qshape, dtype=bits_arr.dtype)
+    bits_pad = jnp.concatenate([bits_arr, pad_bits], axis=0)
+    b0_all = bits_arr[:L]  # [L, Q]
+    walk_bits = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(bits_pad, li + 1, d_max, 0) for li in range(L)]
+    )  # [L, d_max, Q]
+
+    zero_q = F.zeros(qshape)
+
+    def body(carry, xs):
+        prev, xv, okc = carry
+        b0, wb, sib, e00, e01, e10, e11, bt0, bt1, cap, vmask = xs
+        mask = b0 != 0
+        e_0 = (e00, e01)
+        e_1 = (e10, e11)
+        at_idx = ext2.select(F, mask, e_1, e_0)
+        okc = okc & jnp.all(ext2.equal(F, prev, at_idx))
+
+        coset_start = F.select(mask, F.neg(xv), xv)
+        a0 = (coset_start, zero_q)
+        b0p = (F.neg(coset_start), zero_q)
+        beta = _broadcast_ext(F, (bt0, bt1), qshape)
+        num = ext2.mul(F, ext2.sub(F, beta, a0), ext2.sub(F, e_1, e_0))
+        den = ext2.sub(F, b0p, a0)
+        prev = ext2.add(F, ext2.div(F, num, den), e_0)
+
+        leaf = [e_0[0], e_0[1], e_1[0], e_1[1]]
+        state = pg.hash_or_noop(F, leaf, shape=qshape)
+        state = merkle_walk_scan_masked(F, state, wb, sib, vmask)
+        expected = F.take(cap, cap_index, axis=0)  # [Q, 4]
+        for i in range(4):
+            okc = okc & jnp.all(F.equal(_col(F, expected, i), state[i]))
+
+        xv = F.mul(xv, xv)
+        return (prev, xv, okc), None
+
+    okc0 = jnp.asarray(True)
+    (prev_eval, x, okl), _ = jax.lax.scan(
+        body,
+        (prev_eval, x, okc0),
+        (b0_all, walk_bits, sibs_all, e0c0, e0c1, e1c0, e1c1, beta0, beta1,
+         caps, jnp.asarray(valid)),
+    )
+    return prev_eval, x, ok & okl
 
 
 def _col_axis(F, arr, i, axis):
@@ -486,6 +616,14 @@ def jnp_take(a, i, axis):
     import jax.numpy as jnp
 
     return jnp.take(a, i, axis=axis % a.ndim)
+
+
+def _tile4(F, b):
+    if isinstance(b, np.ndarray):
+        return np.concatenate([b] * 4)
+    import jax.numpy as jnp
+
+    return jnp.concatenate([b] * 4)
 
 
 def _as_i32(b):

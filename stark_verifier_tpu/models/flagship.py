@@ -1,0 +1,88 @@
+"""The flagship pipeline: batched Semaphore-proof verification on TPU.
+
+Builds (or loads from the fixture cache) a Semaphore access set, proves a
+batch of signals with the host prover, and exposes the jittable batched
+verifier over GF-typed proof arrays — the unit that bench.py measures and
+__graft_entry__ compile-checks.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..core import verifier as V
+from ..core.types import CircuitConfig, FriConfig, load_proofs, save_proofs
+from ..ops import gl64_jax as gj
+from ..ops import gl64_np as gl
+from ..semaphore.access_set import AccessSet
+
+FIXTURE_DIR = Path(__file__).resolve().parent.parent.parent / "fixtures"
+
+
+def small_config() -> CircuitConfig:
+    """Compile-friendly preset for smoke paths (entry/dryrun)."""
+    return CircuitConfig(
+        fri_config=FriConfig(rate_bits=3, cap_height=1, proof_of_work_bits=8,
+                             num_query_rounds=4)
+    )
+
+
+def bench_config() -> CircuitConfig:
+    """The headline Semaphore FRI parameters (reference:
+    plonky2_semaphore/access_set.rs:68-84): blowup 8, 28 queries, 16 PoW
+    bits, cap height 4."""
+    return CircuitConfig(
+        fri_config=FriConfig(rate_bits=3, cap_height=4, proof_of_work_bits=16,
+                             num_query_rounds=28)
+    )
+
+
+def build_semaphore_batch(n_members_bits=8, batch=8, config=None,
+                          min_degree=0, cache_tag=None, seed=0):
+    """Returns (proofs, common, vk): a batch of semaphore proofs for one
+    access set, cached as an .npz fixture."""
+    if cache_tag:
+        path = FIXTURE_DIR / f"sem_{cache_tag}.npz"
+        if path.exists():
+            return load_proofs(path)
+    rng = np.random.default_rng(seed)
+    n = 1 << n_members_bits
+    sks = rng.integers(0, gl.P, size=(n, 4), dtype=np.uint64)
+    pks = AccessSet.public_key(sks)
+    aset = AccessSet(pks, config or small_config(), min_degree=min_degree)
+    idx = rng.integers(0, n, size=batch)
+    topics = rng.integers(0, gl.P, size=(batch, 4), dtype=np.uint64)
+    signals = aset.make_signals(sks[idx], topics, idx)
+    proofs = [s.proof for s in signals]
+    data = aset.circuit()
+    if cache_tag:
+        FIXTURE_DIR.mkdir(exist_ok=True)
+        save_proofs(FIXTURE_DIR / f"sem_{cache_tag}.npz", proofs, data.common, data.vk)
+    return proofs, data.common, data.vk
+
+
+def batched_arrays(proofs):
+    """Stack per-proof arrays along a leading batch axis (u64 numpy)."""
+    pas = [V.proof_to_arrays(p) for p in proofs]
+    return {k: np.stack([pa[k] for pa in pas]) for k in pas[0]}
+
+
+def make_verifier_fn(common, vk):
+    """Returns (jittable_fn, to_gf) where jittable_fn maps the GF-typed
+    batched arrays -> accept bool [B]."""
+    import jax
+
+    vk_cap = gj.from_u64(vk.constants_sigmas_cap)
+    digest = gj.from_u64(vk.circuit_digest)
+
+    def verify_one(pa):
+        return V.verify(gj, common, vk_cap, digest, pa)
+
+    fn = jax.jit(jax.vmap(verify_one))
+
+    def to_gf(batched):
+        return {k: gj.from_u64(v) for k, v in batched.items()}
+
+    return fn, to_gf

@@ -256,3 +256,7 @@ def sum_axis0(a):
     for i in range(1, a.shape[0]):
         out = add(out, a[i])
     return out
+
+
+def index(a, sl):
+    return a[sl]

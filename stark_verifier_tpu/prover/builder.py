@@ -233,7 +233,11 @@ class CircuitBuilder:
 
         self.generators.append(gen_pi)
 
-        # pad rows to a power of two
+        # pad rows to a power of two (and to any requested minimum degree,
+        # e.g. to emulate the row count of a zk-blinded circuit)
+        min_rows = getattr(self, "min_degree", 0)
+        while len(self.gate_rows) < min_rows:
+            self.add_gate(G.NoopGate(), [])
         while len(self.gate_rows) & (len(self.gate_rows) - 1):
             self.add_gate(G.NoopGate(), [])
         n = len(self.gate_rows)

@@ -52,11 +52,15 @@ def semaphore_config() -> CircuitConfig:
 
 
 class AccessSet:
-    def __init__(self, public_keys: np.ndarray, config: CircuitConfig = None):
-        """public_keys: [n, 4] uint64 (n a power of two)."""
+    def __init__(self, public_keys: np.ndarray, config: CircuitConfig = None,
+                 min_degree: int = 0):
+        """public_keys: [n, 4] uint64 (n a power of two). `min_degree` pads
+        the circuit with noops to a minimum row count (e.g. to emulate the
+        row count a zk-blinded plonky2 build would have)."""
         self.tree = MerkleTree(public_keys, cap_height=0)
         self.tree_height = log2_strict(public_keys.shape[0])
         self.config = config or semaphore_config()
+        self.min_degree = min_degree
         self._circuit: CircuitData = None
 
     @staticmethod
@@ -80,6 +84,7 @@ class AccessSet:
         if self._circuit is not None:
             return self._circuit
         b = CircuitBuilder(self.config)
+        b.min_degree = self.min_degree
         merkle_root = b.add_virtual_hash()
         b.register_public_inputs(merkle_root)
         nullifier = b.add_virtual_hash()

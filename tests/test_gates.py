@@ -1,0 +1,93 @@
+"""Gate evaluator differential tests.
+
+The key one mirrors the reference's per-gate differential strategy
+(reference: gates/gate_test.rs:154-176): the PoseidonGate's fast-partial-
+round schedule (with the FAST_PARTIAL_* derived tables) must agree with the
+naive Poseidon permutation — witness-fill the gate and check (a) outputs
+equal the naive permutation and (b) every constraint evaluates to zero."""
+import numpy as np
+
+from stark_verifier_tpu.core import gates as G
+from stark_verifier_tpu.core.rings import BaseRing, ExtRing
+from stark_verifier_tpu.ops import gl64_np as gl
+from stark_verifier_tpu.ops import poseidon_gl as pg
+
+rng = np.random.default_rng(77)
+
+
+def test_poseidon_gate_fast_schedule_matches_naive():
+    inputs = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(12)]
+    swap = np.uint64(0)
+    wires_map, outputs = G.poseidon_witness_fill(gl, inputs, swap)
+    naive = pg.permute(gl, np.stack(inputs))
+    for i in range(12):
+        assert outputs[i] == naive[i], i
+
+
+def test_poseidon_gate_swap_semantics():
+    inputs = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(12)]
+    _, out_swapped = G.poseidon_witness_fill(gl, inputs, np.uint64(1))
+    swapped = inputs[4:8] + inputs[0:4] + inputs[8:]
+    naive = pg.permute(gl, np.stack(swapped))
+    for i in range(12):
+        assert out_swapped[i] == naive[i], i
+
+
+def test_poseidon_gate_constraints_vanish_on_valid_witness():
+    gate = G.PoseidonGate()
+    inputs = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(12)]
+    swap = np.uint64(1)
+    wires_map, _ = G.poseidon_witness_fill(gl, inputs, swap)
+    n_wires = gate.num_wires_used()
+    R = BaseRing(gl)
+    W = [wires_map.get(i, gl.zeros(())) for i in range(n_wires)]
+    cs = gate.eval_unfiltered(R, [], W, None)
+    assert len(cs) == gate.num_constraints
+    for j, c in enumerate(cs):
+        assert c == 0, f"constraint {j} != 0"
+
+
+def test_gate_registry_reference_ids():
+    """Every gate-id string the reference dispatches on must resolve
+    (reference: gates/mod.rs:138-203)."""
+    ids = [
+        "ArithmeticGate { num_ops: 20 }",
+        "PublicInputGate",
+        "NoopGate",
+        "ConstantGate { num_consts: 2 }",
+        "BaseSumGate { num_limbs: 63 } + Base: 2",
+        "PoseidonGate(PhantomData<plonky2_field::goldilocks_field::GoldilocksField>)<WIDTH=12>",
+        "PoseidonMdsGate(PhantomData<plonky2_field::goldilocks_field::GoldilocksField>)<WIDTH=12>",
+        "RandomAccessGate { bits: 1, num_copies: 20, num_extra_constants: 0, _phantom: PhantomData<plonky2_field::goldilocks_field::GoldilocksField> }<D=2>",
+        "RandomAccessGate { bits: 4, num_copies: 4, num_extra_constants: 2, _phantom: PhantomData<plonky2_field::goldilocks_field::GoldilocksField> }<D=2>",
+        "ReducingExtensionGate { num_coeffs: 32 }",
+        "ReducingGate { num_coeffs: 43 }",
+        "ArithmeticExtensionGate { num_ops: 10 }",
+        "MulExtensionGate { num_ops: 13 }",
+        "BaseSumGate { num_limbs: 4 } + Base: 2",
+    ]
+    for s in ids:
+        g = G.gate_from_id(s)
+        assert g.id == s, (g.id, s)
+
+
+def test_simple_gate_evaluators_base_vs_ext_consistency():
+    """Evaluating over GF(p) and over GF(p^2) with c1=0 must agree."""
+    for gate in (G.ArithmeticGate(4), G.BaseSumGate(6), G.ConstantGate(2),
+                 G.ReducingGate(3), G.PoseidonMdsGate()):
+        nw = gate.num_wires_used()
+        wires = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(nw)]
+        consts = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(max(2, gate.num_constants))]
+        pi = [rng.integers(0, gl.P, (), dtype=np.uint64) for _ in range(4)]
+        Rb = BaseRing(gl)
+        Rx = ExtRing(gl)
+        base = gate.eval_unfiltered(Rb, consts, wires, pi)
+        ext = gate.eval_unfiltered(
+            Rx,
+            [(c, gl.zeros(())) for c in consts],
+            [(w, gl.zeros(())) for w in wires],
+            [(h, gl.zeros(())) for h in pi],
+        )
+        assert len(base) == len(ext) == gate.num_constraints
+        for b, e in zip(base, ext):
+            assert b == e[0] and e[1] == 0, gate.id

@@ -250,7 +250,9 @@ def inv(a: GF) -> GF:
         result = select(b == 1, mul(result, base), result)
         return (result, square(base))
 
-    result, _ = jax.lax.fori_loop(0, 64, body, (ones(a.shape), a))
+    one = GF(jnp.ones_like(a.l0), jnp.zeros_like(a.l1),
+             jnp.zeros_like(a.l2), jnp.zeros_like(a.l3))
+    result, _ = jax.lax.fori_loop(0, 64, body, (one, a))
     return result
 
 

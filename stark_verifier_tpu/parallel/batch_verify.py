@@ -60,12 +60,18 @@ def make_batch_verifier(common: CommonData, vk, mesh: Mesh, axis: str = "data"):
     def verify_one(pa):
         return V.verify(gj, common, vk_cap, digest, pa)
 
-    @partial(
-        _shard_map,
-        mesh=mesh,
-        in_specs=P(axis),
-        out_specs=(P(axis), P(axis), P()),
-    )
+    try:
+        wrap = partial(
+            _shard_map, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis), P()), check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        wrap = partial(
+            _shard_map, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis), P()), check_rep=False,
+        )
+
+    @wrap
     def _sharded(pa):
         ok = jax.vmap(verify_one)(pa)  # [b_local]
         count = jax.lax.psum(jnp.sum(ok.astype(jnp.uint32)), axis)

@@ -233,6 +233,15 @@ class CircuitBuilder:
 
         self.generators.append(gen_pi)
 
+        # zero-knowledge: unconstrained rows whose wires are filled with
+        # fresh randomness per proof, blinding the wire-polynomial openings
+        # (plonky2-style; combined with salted oracle leaves in the prover)
+        blind_rows = []
+        if cfg.zero_knowledge:
+            for _ in range(4):
+                blind_rows.append(self.add_gate(G.NoopGate(), []))
+        self.blind_rows = blind_rows
+
         # pad rows to a power of two (and to any requested minimum degree,
         # e.g. to emulate the row count of a zk-blinded circuit)
         min_rows = getattr(self, "min_degree", 0)
@@ -415,6 +424,10 @@ class CircuitData:
             if t[0] == "w":
                 _, row, col = t
                 W[col, row] = v
-        # copy-constraint propagation for virtual-only connections
+        # zk: randomize the blinding rows' wires (unconstrained noop rows)
+        rng = np.random.default_rng()
+        for row in getattr(self.builder, "blind_rows", []):
+            W[:, row, :] = rng.integers(
+                0, 0xFFFFFFFF00000001, size=(W.shape[0], batch), dtype=np.uint64)
         pis = np.stack([store.get(t) for t in self.builder.public_inputs]) if self.builder.public_inputs else np.zeros((0, batch), np.uint64)
         return W, pis

@@ -85,12 +85,24 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     W = np.ascontiguousarray(np.swapaxes(W, 1, 2))  # [nw, B, n]
 
     # ---- 2. wires commitment
+    hiding = common.fri_params.hiding
+    salt_rng = np.random.default_rng()
+
+    def _salt(leaves):
+        """Append SALT_SIZE random columns to blinded-oracle leaves
+        (reference: types/assigned.rs:57-72 strips them on the verify side)."""
+        if not hiding:
+            return leaves
+        salt = salt_rng.integers(0, gl.P, size=leaves.shape[:-1] + (4,),
+                                 dtype=np.uint64)
+        return np.concatenate([leaves, salt], axis=-1)
+
     wire_coeffs = ntt.intt(W)
     wire_lde = ntt.coset_lde(wire_coeffs, rate_bits, SHIFT)  # [nw, B, lde_n]
     perm = reverse_index_bits_perm(lde_n)
-    wires_leaves = np.take(
+    wires_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(wire_lde, 0, -1)), perm, axis=-2
-    )  # [B, lde_n, nw]
+    ))  # [B, lde_n, nw(+salt)]
     wires_tree = MerkleTree(wires_leaves, cap_h)
 
     # ---- 3. transcript: digest, PI hash, wires cap -> betas, gammas
@@ -152,9 +164,9 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
 
     zs_pp_coeffs = ntt.intt(zs_pp_values)
     zs_pp_lde = ntt.coset_lde(zs_pp_coeffs, rate_bits, SHIFT)
-    zs_pp_leaves = np.take(
+    zs_pp_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(zs_pp_lde, 0, -1)), perm, axis=-2
-    )
+    ))
     zs_pp_tree = MerkleTree(zs_pp_leaves, cap_h)
     _observe_cap_batch(ch, zs_pp_tree.cap)
     alphas = [ch.get_challenge() for _ in range(nc)]
@@ -164,9 +176,9 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
         data, W, wire_lde, zs_pp_lde, pi_hash, betas, gammas, alphas, B
     )  # [nc*qdf, B, n]
     q_lde = ntt.coset_lde(quotient_polys, rate_bits, SHIFT)
-    q_leaves = np.take(
+    q_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(q_lde, 0, -1)), perm, axis=-2
-    )
+    ))
     q_tree = MerkleTree(q_leaves, cap_h)
     _observe_cap_batch(ch, q_tree.cap)
     zeta = (ch.get_challenge(), ch.get_challenge())

@@ -36,14 +36,14 @@ class Signal:
 
 
 def semaphore_config() -> CircuitConfig:
-    """The Semaphore proving preset (reference: access_set.rs:68-84), with
-    zero_knowledge pending blinding support."""
+    """The Semaphore proving preset (reference: access_set.rs:68-84):
+    zk on, blowup 8, 28 queries, 16 PoW bits."""
     return CircuitConfig(
         num_wires=135,
         num_routed_wires=80,
         num_constants=2,
         num_challenges=2,
-        zero_knowledge=False,
+        zero_knowledge=True,
         max_quotient_degree_factor=8,
         fri_config=FriConfig(
             rate_bits=3, cap_height=4, proof_of_work_bits=16, num_query_rounds=28

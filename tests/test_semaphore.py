@@ -62,3 +62,31 @@ def test_non_member_cannot_sign(access_set):
     topics = rng.integers(0, gl.P, size=(1, 4), dtype=np.uint64)
     signals = access_set.make_signals(bad_sk, topics, np.array([5]))
     assert access_set.verify_signals_np(signals) == [False]
+
+
+def test_zero_knowledge_signals_verify():
+    """zk mode: salted oracles + blinding rows; proofs still verify and the
+    salt columns are present/stripped (reference semantics:
+    fri_params.hiding + SALT_SIZE=4)."""
+    rng = np.random.default_rng(31)
+    n = 1 << 5
+    sks = rng.integers(0, gl.P, size=(n, 4), dtype=np.uint64)
+    cfg = CircuitConfig(
+        zero_knowledge=True,
+        fri_config=FriConfig(rate_bits=3, cap_height=1, proof_of_work_bits=6,
+                             num_query_rounds=6),
+    )
+    aset = AccessSet(AccessSet.public_key(sks), cfg)
+    idx = np.array([4, 9])
+    topics = rng.integers(0, gl.P, size=(2, 4), dtype=np.uint64)
+    signals = aset.make_signals(sks[idx], topics, idx)
+    data = aset.circuit()
+    assert data.common.fri_params.hiding
+    # wires oracle leaf includes 4 salt columns
+    leaf_w = signals[0].proof.opening_proof.query_rounds.initial_evals[1].shape[1]
+    assert leaf_w == cfg.num_wires + 4
+    assert aset.verify_signals_np(signals) == [True, True]
+    # two proofs of the same statement differ (randomized)
+    sig_a = aset.make_signals(sks[idx[:1]], topics[:1], idx[:1])[0]
+    sig_b = aset.make_signals(sks[idx[:1]], topics[:1], idx[:1])[0]
+    assert not (sig_a.proof.wires_cap == sig_b.proof.wires_cap).all()

@@ -431,3 +431,167 @@ class CircuitData:
                 0, 0xFFFFFFFF00000001, size=(W.shape[0], batch), dtype=np.uint64)
         pis = np.stack([store.get(t) for t in self.builder.public_inputs]) if self.builder.public_inputs else np.zeros((0, batch), np.uint64)
         return W, pis
+
+
+def _ext_pair(ts):
+    assert len(ts) == 2
+    return ts
+
+
+class _GadgetMixins:
+    pass
+
+
+def _attach_gadgets():
+    """Builder gadgets for the remaining plonky2 gate types (random access,
+    reducing, extension arithmetic) — the gate set the reference's recursion
+    circuits exercise (reference: gates/mod.rs registry)."""
+
+    def random_access(self, index: Target, items: List[Target]) -> Target:
+        """List access: returns a target constrained to items[index]
+        (reference: gates/random_access.rs wire layout)."""
+        vlen = len(items)
+        bits = log2_strict(vlen)
+        # copies per gate bounded by routed wires: (2 + 2^bits) * copies <= nr
+        copies = max(1, self.config.num_routed_wires // (2 + vlen))
+        key = ("ra", bits)
+        slots = getattr(self, "_ra_slots", {})
+        self._ra_slots = slots
+        if key not in slots or slots[key][1] >= copies:
+            gate = G.RandomAccessGate(bits, copies, 0)
+            row = self.add_gate(gate, [])
+            slots[key] = [row, 0, gate]
+        row, copy, gate = slots[key]
+        slots[key][1] += 1
+        self.connect(index, ("w", row, gate.wire_access_index(copy)))
+        for i, t in enumerate(items):
+            self.connect(t, ("w", row, gate.wire_list_item(i, copy)))
+        claimed = ("w", row, gate.wire_claimed_element(copy))
+
+        def gen(s, index=index, items=tuple(items), row=row, copy=copy, gate=gate):
+            idx = s.get(index)
+            vals = np.stack([s.get(t) for t in items])  # [vlen, B]
+            s.set(("w", row, gate.wire_access_index(copy)), idx)
+            for i, t in enumerate(items):
+                s.set(("w", row, gate.wire_list_item(i, copy)), s.get(t))
+            sel = np.take_along_axis(vals, idx[None, :].astype(np.int64), axis=0)[0]
+            s.set(("w", row, gate.wire_claimed_element(copy)), sel)
+            for b in range(gate.bits):
+                s.set(("w", row, gate.wire_bit(b, copy)),
+                      (idx >> np.uint64(b)) & np.uint64(1))
+
+        self.generators.append(gen)
+        return claimed
+
+    def mul_extension(self, c0: int, x2, y2):
+        """Extension mul via MulExtensionGate: returns ext pair of targets
+        constrained to c0 * x * y (reference: gates/multiplication_extension.rs)."""
+        slots = getattr(self, "_mulext_slot", None)
+        gate = G.MulExtensionGate(13)
+        if slots is None or slots[2] != c0 or slots[1] >= gate.num_ops:
+            row = self.add_gate(gate, [c0])
+            self._mulext_slot = [row, 0, c0]
+        row, i, _ = self._mulext_slot
+        self._mulext_slot[1] += 1
+        b = 6 * i
+        for k in range(2):
+            self.connect(x2[k], ("w", row, b + k))
+            self.connect(y2[k], ("w", row, b + 2 + k))
+        out = [("w", row, b + 4), ("w", row, b + 5)]
+
+        def gen(s, x2=tuple(x2), y2=tuple(y2), row=row, b=b, c0=c0):
+            from ..ops import ext2
+
+            xv = (s.get(x2[0]), s.get(x2[1]))
+            yv = (s.get(y2[0]), s.get(y2[1]))
+            for k in range(2):
+                s.set(("w", row, b + k), xv[k])
+                s.set(("w", row, b + 2 + k), yv[k])
+            prod = ext2.mul(gl, xv, yv)
+            c = gl.const(c0, xv[0].shape)
+            s.set(("w", row, b + 4), gl.mul(c, prod[0]))
+            s.set(("w", row, b + 5), gl.mul(c, prod[1]))
+
+        self.generators.append(gen)
+        return out
+
+    def arithmetic_extension(self, c0: int, c1: int, x2, y2, z2):
+        """c0*x*y + c1*z over the extension
+        (reference: gates/arithmetic_extension.rs)."""
+        gate = G.ArithmeticExtensionGate(10)
+        slot = getattr(self, "_arithext_slot", None)
+        if slot is None or slot[2] != (c0, c1) or slot[1] >= gate.num_ops:
+            row = self.add_gate(gate, [c0, c1])
+            self._arithext_slot = [row, 0, (c0, c1)]
+        row, i, _ = self._arithext_slot
+        self._arithext_slot[1] += 1
+        b = 8 * i
+        for k in range(2):
+            self.connect(x2[k], ("w", row, b + k))
+            self.connect(y2[k], ("w", row, b + 2 + k))
+            self.connect(z2[k], ("w", row, b + 4 + k))
+        out = [("w", row, b + 6), ("w", row, b + 7)]
+
+        def gen(s, x2=tuple(x2), y2=tuple(y2), z2=tuple(z2), row=row, b=b,
+                c0=c0, c1=c1):
+            from ..ops import ext2
+
+            xv = (s.get(x2[0]), s.get(x2[1]))
+            yv = (s.get(y2[0]), s.get(y2[1]))
+            zv = (s.get(z2[0]), s.get(z2[1]))
+            for k in range(2):
+                s.set(("w", row, b + k), xv[k])
+                s.set(("w", row, b + 2 + k), yv[k])
+                s.set(("w", row, b + 4 + k), zv[k])
+            sh = xv[0].shape
+            prod = ext2.mul(gl, xv, yv)
+            r0 = gl.add(gl.mul(gl.const(c0, sh), prod[0]),
+                        gl.mul(gl.const(c1, sh), zv[0]))
+            r1 = gl.add(gl.mul(gl.const(c0, sh), prod[1]),
+                        gl.mul(gl.const(c1, sh), zv[1]))
+            s.set(("w", row, b + 6), r0)
+            s.set(("w", row, b + 7), r1)
+
+        self.generators.append(gen)
+        return out
+
+    def reduce_with_powers_ext(self, alpha2, old_acc2, coeffs: List[Target]):
+        """Horner accumulator over base-field coeffs via ReducingGate
+        (reference: gates/reducing.rs). Returns the output ext pair."""
+        gate = G.ReducingGate(len(coeffs))
+        assert gate.num_wires_used() <= self.config.num_wires
+        row = self.add_gate(gate, [])
+        for k in range(2):
+            self.connect(alpha2[k], ("w", row, 2 + k))
+            self.connect(old_acc2[k], ("w", row, 4 + k))
+        for i, c in enumerate(coeffs):
+            self.connect(c, ("w", row, gate.wire_coeff(i)))
+        out = [("w", row, 0), ("w", row, 1)]
+
+        def gen(s, alpha2=tuple(alpha2), old_acc2=tuple(old_acc2),
+                coeffs=tuple(coeffs), row=row, gate=gate):
+            from ..ops import ext2
+
+            av = (s.get(alpha2[0]), s.get(alpha2[1]))
+            acc = (s.get(old_acc2[0]), s.get(old_acc2[1]))
+            for k in range(2):
+                s.set(("w", row, 2 + k), av[k])
+                s.set(("w", row, 4 + k), acc[k])
+            for i, c in enumerate(coeffs):
+                cv = s.get(c)
+                s.set(("w", row, gate.wire_coeff(i)), cv)
+                acc = ext2.add(gl, ext2.mul(gl, acc, av), (cv, gl.zeros(cv.shape)))
+                w = gate.wires_acc(i)
+                s.set(("w", row, w), acc[0])
+                s.set(("w", row, w + 1), acc[1])
+
+        self.generators.append(gen)
+        return out
+
+    CircuitBuilder.random_access = random_access
+    CircuitBuilder.mul_extension = mul_extension
+    CircuitBuilder.arithmetic_extension = arithmetic_extension
+    CircuitBuilder.reduce_with_powers_ext = reduce_with_powers_ext
+
+
+_attach_gadgets()

@@ -120,21 +120,29 @@ def _add_gl(alo, ahi, blo, bhi):
     return _canonical(lo, hi)
 
 
-def _mds_limb(state_lo, state_hi):
-    """MDS multiply on [12, B] planes via exact 16-bit limb matmul."""
-    m = jnp.asarray(_MDS)
+_CIRC = np.asarray(MDS_MATRIX_CIRC, np.uint32)
+_DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])
+
+
+def _mds_limb(state_lo, state_hi, roll=jnp.roll):
+    """MDS multiply on [12, B] planes via the circulant roll-mac form
+    (Mosaic's MXU has no i32 matmul; this is pure VPU: 16-bit limb columns
+    stay exact in uint32, sums < 2^26)."""
     limbs = [
         state_lo & _LO16,
         state_lo >> _16,
         state_hi & _LO16,
         state_hi >> _16,
     ]
-    cols = [
-        jax.lax.dot_general(
-            m, l, (((1,), (0,)), ((), ())), preferred_element_type=jnp.uint32
-        )
-        for l in limbs
-    ]
+    cols = []
+    for l in limbs:
+        # out[r] = sum_t CIRC[t] * l[(r+t) % 12]  (+ DIAG[0]*l[0] at row 0)
+        acc = l * _CIRC[0]
+        for t in range(1, 12):
+            acc = acc + roll(l, -t, 0) * _CIRC[t]
+        row0 = acc[0:1] + l[0:1] * _DIAG0
+        acc = jnp.concatenate([row0, acc[1:]], axis=0)
+        cols.append(acc)
     c0, c1, c2, c3 = cols
     t01 = (c0 >> _16) + c1
     x0 = (c0 & _LO16) + ((t01 & _LO16) << _16)
@@ -152,34 +160,42 @@ def _sbox7(lo, hi):
     return _mul_gl(l3, h3, l4, h4)
 
 
-def _permute_planes(lo, hi):
+def _permute_planes(lo, hi, rc_lo=None, rc_hi=None, roll=jnp.roll):
     """The full permutation on [12, B] u32 planes (pure jnp; usable both
     inside the Pallas kernel and as an XLA fallback)."""
-    rc_lo = jnp.asarray(_RC_LO)
-    rc_hi = jnp.asarray(_RC_HI)
+    if rc_lo is None:
+        rc_lo = jnp.asarray(_RC_LO)
+        rc_hi = jnp.asarray(_RC_HI)
     r = 0
     for _ in range(HALF_N_FULL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         lo, hi = _sbox7(lo, hi)
-        lo, hi = _mds_limb(lo, hi)
+        lo, hi = _mds_limb(lo, hi, roll)
         r += 1
     for _ in range(N_PARTIAL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         s0l, s0h = _sbox7(lo[:1], hi[:1])
         lo = jnp.concatenate([s0l, lo[1:]], axis=0)
         hi = jnp.concatenate([s0h, hi[1:]], axis=0)
-        lo, hi = _mds_limb(lo, hi)
+        lo, hi = _mds_limb(lo, hi, roll)
         r += 1
     for _ in range(HALF_N_FULL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         lo, hi = _sbox7(lo, hi)
-        lo, hi = _mds_limb(lo, hi)
+        lo, hi = _mds_limb(lo, hi, roll)
         r += 1
     return lo, hi
 
 
-def _kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    lo, hi = _permute_planes(lo_ref[...], hi_ref[...])
+def _kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % 12, axis)
+
+    lo, hi = _permute_planes(
+        lo_ref[...], hi_ref[...], rc_lo_ref[...], rc_hi_ref[...], roll
+    )
     out_lo_ref[...] = lo
     out_hi_ref[...] = hi
 
@@ -201,6 +217,7 @@ def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024):
         return _permute_planes(lo, hi)
     grid = (B // bb,)
     spec = pl.BlockSpec((WIDTH, bb), lambda i: (0, i))
+    const_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
     out_shape = [
         jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
         jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
@@ -209,9 +226,34 @@ def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024):
         pl.pallas_call(
             _kernel,
             grid=grid,
-            in_specs=[spec, spec],
+            in_specs=[spec, spec, const_spec((30, WIDTH)),
+                      const_spec((30, WIDTH))],
             out_specs=[spec, spec],
             out_shape=out_shape,
             interpret=interpret,
-        )(lo, hi)
+        )(lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
     )
+
+
+def permute_gf(state):
+    """GF-typed entry: state GF[12, ...] -> GF[12, ...] via the fused kernel
+    (batch = flattened trailing dims in the lane dimension; XLA planes path
+    for small/ragged batches)."""
+    import os
+
+    from ..gl64_jax import GF
+
+    trailing = state.l0.shape[1:]
+    L = 1
+    for d in trailing:
+        L *= d
+    lo = (state.l0 + (state.l1 << _16)).reshape(12, L)
+    hi = (state.l2 + (state.l3 << _16)).reshape(12, L)
+    interpret = os.environ.get("SVT_PALLAS_INTERPRET") == "1"
+    if L >= 128 and L % 128 == 0:
+        out_lo, out_hi = poseidon_permute_batch(lo, hi, interpret=interpret)
+    else:
+        out_lo, out_hi = _permute_planes(lo, hi)
+    out_lo = out_lo.reshape((12,) + trailing)
+    out_hi = out_hi.reshape((12,) + trailing)
+    return GF(out_lo & _LO16, out_lo >> _16, out_hi & _LO16, out_hi >> _16)

@@ -35,11 +35,22 @@ def _sbox(F, x):
     return F.mul(x3, x4)
 
 
+import os as _os
+
+_USE_PALLAS = _os.environ.get("SVT_PALLAS") == "1"
+
+
 def permute(F, state):
     """One Poseidon permutation; `state` is a stacked backend array with
     leading dimension 12 (use F.stack / F.unstack to build)."""
     assert state.shape[0] == WIDTH
     if hasattr(F, "permute12"):
+        if _USE_PALLAS:
+            # fused Pallas kernel (batch in the lane dim); falls back to the
+            # XLA planes formulation for small/ragged batches
+            from .pallas.poseidon_kernel import permute_gf
+
+            return permute_gf(state)
         # backend-specialized compact-trace implementation (JAX lax.scan)
         return F.permute12(state)
     round_ctr = 0

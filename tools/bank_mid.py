@@ -1,0 +1,8 @@
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+os.environ["SVT_BENCH_PRESET"] = "mid"
+os.environ["SVT_BENCH_INNER"] = "1"
+import bench, time
+t0 = time.time()
+bench.inner()
+print(f"mid banked in {time.time()-t0:.0f}s", flush=True)

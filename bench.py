@@ -62,12 +62,17 @@ def _emit(preset, common, pps, suffix=""):
 
 def inner():
     """The real device benchmark (runs in a subprocess)."""
+    import jax
+
     from stark_verifier_tpu.models import flagship as FS
 
     preset, proofs, common, vk = _load_workload()
-    fn, to_gf = FS.make_verifier_fn(common, vk)
+    _, to_gf = FS.make_verifier_fn(common, vk)
     pa_gf = to_gf(FS.batched_arrays(proofs))
+    plat = jax.devices()[0].platform
+    exec_path = REPO / "fixtures" / f"exec_{preset}_b{len(proofs)}_{plat}.jex"
     t0 = time.time()
+    fn = FS.compiled_verifier(common, vk, pa_gf, cache_path=exec_path)
     ok = np.asarray(fn(pa_gf))
     first = time.time() - t0
     assert ok.all(), "benchmark proofs failed verification"

@@ -86,3 +86,45 @@ def make_verifier_fn(common, vk):
         return {k: gj.from_u64(v) for k, v in batched.items()}
 
     return fn, to_gf
+
+
+# ----------------------------------------------------- AOT executable cache
+def save_compiled(compiled, path):
+    """Serialize a compiled (AOT) verifier executable to disk: reloading
+    skips both tracing and XLA compilation (the axon backend does not hit
+    jax's persistent HLO cache, so this is the fast-start path)."""
+    import pickle
+
+    from jax.experimental.serialize_executable import serialize
+
+    payload, in_tree, out_tree = serialize(compiled)
+    Path(path).parent.mkdir(exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump((payload, in_tree, out_tree), f)
+
+
+def load_compiled(path):
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree = pickle.load(f)
+    return deserialize_and_load(payload, in_tree, out_tree)
+
+
+def compiled_verifier(common, vk, pa_gf, cache_path=None):
+    """AOT-compile (or load) the batched verifier for these array shapes."""
+    fn, _ = make_verifier_fn(common, vk)
+    if cache_path and Path(cache_path).exists():
+        try:
+            return load_compiled(cache_path)
+        except Exception as e:  # stale/foreign artifact: recompile
+            print(f"# exec cache load failed ({e}); recompiling", flush=True)
+    comp = fn.lower(pa_gf).compile()
+    if cache_path:
+        try:
+            save_compiled(comp, cache_path)
+        except Exception as e:
+            print(f"# exec cache save failed ({e})", flush=True)
+    return comp

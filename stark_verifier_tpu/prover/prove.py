@@ -66,6 +66,13 @@ def _ext_fft_batch(coeffs_ext, shift: int):
     )
 
 
+def _vlog(msg):
+    import os, time
+
+    if os.environ.get("SVT_PROVER_VERBOSE"):
+        print(f"[prove {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     common = data.common
     cfg = common.config
@@ -81,6 +88,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     B = batch
 
     # ---- 1. witness
+    _vlog("witness")
     W, pis = data.generate_witness(inputs, batch)  # [nw, n, B], [npi, B]
     W = np.ascontiguousarray(np.swapaxes(W, 1, 2))  # [nw, B, n]
 
@@ -97,6 +105,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
                                  dtype=np.uint64)
         return np.concatenate([leaves, salt], axis=-1)
 
+    _vlog("wires commit")
     wire_coeffs = ntt.intt(W)
     wire_lde = ntt.coset_lde(wire_coeffs, rate_bits, SHIFT)  # [nw, B, lde_n]
     perm = reverse_index_bits_perm(lde_n)
@@ -117,6 +126,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     gammas = [ch.get_challenge() for _ in range(nc)]
 
     # ---- 4. permutation argument: Z polys + partial products
+    _vlog("permutation argument")
     s_id = gl.mul(
         data.common.k_is[:, None].astype(np.uint64),
         data.subgroup[None, :],
@@ -172,6 +182,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     alphas = [ch.get_challenge() for _ in range(nc)]
 
     # ---- 5. quotient polynomials
+    _vlog("quotient")
     quotient_polys = _compute_quotient(
         data, W, wire_lde, zs_pp_lde, pi_hash, betas, gammas, alphas, B
     )  # [nc*qdf, B, n]
@@ -184,6 +195,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     zeta = (ch.get_challenge(), ch.get_challenge())
 
     # ---- 6. openings at zeta / g*zeta
+    _vlog("openings")
     g_n = int(data.subgroup[1]) if n > 1 else 1
     zeta_next = ext2.scalar_mul(gl, zeta, gl.const(g_n, (B,)))
     cs_coeffs = data.constants_sigmas_coeffs          # [ncst+nr, n]
@@ -241,6 +253,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     final_coeffs = (gl.add(q0_shifted[0], q1[0]), gl.add(q0_shifted[1], q1[1]))
 
     # ---- 8. FRI commit phase
+    _vlog("fri commit")
     lde_coeffs = (
         np.concatenate([final_coeffs[0], np.zeros((B, lde_n - n), np.uint64)], axis=1),
         np.concatenate([final_coeffs[1], np.zeros((B, lde_n - n), np.uint64)], axis=1),
@@ -282,6 +295,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
         ch.observe_element(final_poly[:, k, 1])
 
     # ---- 9. PoW grinding
+    _vlog("pow grind")
     pow_bits = cfg.fri_config.proof_of_work_bits
     pow_witness = _grind_pow(ch, pow_bits, B)
     ch.observe_element(pow_witness)
@@ -293,6 +307,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     ).astype(np.int64)  # [B, Q]
 
     # ---- 10. query round proofs
+    _vlog("queries")
     initial_trees = [data.constants_sigmas_tree, wires_tree, zs_pp_tree, q_tree]
     init_evals, init_sibs = [], []
     for tree in initial_trees:

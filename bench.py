@@ -29,7 +29,7 @@ def _load_workload():
     from stark_verifier_tpu.core.types import CircuitConfig, FriConfig
     from stark_verifier_tpu.models import flagship as FS
 
-    preset = os.environ.get("SVT_BENCH_PRESET", "small")
+    preset = os.environ.get("SVT_BENCH_PRESET", "full")
     if preset == "full":
         cfg, tag, members, min_degree = FS.bench_config(), "bench10", 10, 1 << 12
     elif preset == "mid":
@@ -39,7 +39,7 @@ def _load_workload():
         tag, members, min_degree = "mid8", 8, 0
     else:
         cfg, tag, members, min_degree = FS.small_config(), "small6", 6, 0
-    batch = int(os.environ.get("SVT_BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("SVT_BENCH_BATCH", "512"))
     proofs, common, vk = FS.build_semaphore_batch(
         n_members_bits=members, batch=min(batch, 32), config=cfg,
         min_degree=min_degree, cache_tag=tag)

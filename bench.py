@@ -39,7 +39,7 @@ def _load_workload():
         tag, members, min_degree = "mid8", 8, 0
     else:
         cfg, tag, members, min_degree = FS.small_config(), "small6", 6, 0
-    batch = int(os.environ.get("SVT_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("SVT_BENCH_BATCH", "1024"))
     proofs, common, vk = FS.build_semaphore_batch(
         n_members_bits=members, batch=min(batch, 32), config=cfg,
         min_degree=min_degree, cache_tag=tag)

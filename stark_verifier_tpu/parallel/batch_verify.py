@@ -49,6 +49,56 @@ def digest_chain(pis, ok):
     return acc
 
 
+def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
+                          axis: str = "data"):
+    """Data-parallel verification the jax-idiomatic way: the proof batch is
+    laid out with `NamedSharding(mesh, P(axis))` on its leading axis and the
+    plain `jit(vmap(verify))` program is partitioned by XLA's SPMD pass —
+    every op is batch-leading, so the partition is collective-free and each
+    chip verifies its local shard independently. The cross-chip reduction
+    (accept count via psum + per-shard Poseidon digest chain) runs as a
+    separate small `shard_map` program.
+
+    This supersedes wrapping the whole verifier in shard_map: the manual
+    lowering of the ~300k-op verifier graph sent XLA:CPU's algebraic
+    simplifier into a circular loop (hours-long compiles) and produced
+    executables whose multi-device launch deadlocked, while this split
+    compiles like the single-chip program and its collective step is tiny.
+
+    Returns (sharding, verify_fn, agg_fn):
+        sharding  — NamedSharding to device_put the batched GF arrays with
+        verify_fn — jittable pa_gf -> accept bool [B] (sharded on axis)
+        agg_fn    — (public_inputs GF [B, npi], ok [B]) ->
+                    (per-shard digests GF [n_dev, 4], global accept count)
+    """
+    from jax.sharding import NamedSharding
+
+    vk_cap = gj.from_u64(vk.constants_sigmas_cap)
+    digest = gj.from_u64(vk.circuit_digest)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def verify_one(pa):
+        return V.verify(gj, common, vk_cap, digest, pa)
+
+    verify_fn = jax.vmap(verify_one)
+
+    try:
+        wrap = partial(_shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P()), check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        wrap = partial(_shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P()), check_rep=False)
+
+    @jax.jit
+    @wrap
+    def agg_fn(pis, ok):
+        d = digest_chain(pis, ok)
+        count = jax.lax.psum(jnp.sum(ok.astype(jnp.uint32)), axis)
+        return gj.gmap(lambda a: a[None], d), count
+
+    return sharding, verify_fn, agg_fn
+
+
 def make_batch_verifier(common: CommonData, vk, mesh: Mesh, axis: str = "data"):
     """Returns a jittable fn over GF-typed batched proof arrays (leading
     batch axis sharded over `mesh`):

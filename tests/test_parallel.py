@@ -8,6 +8,69 @@ import numpy as np
 import pytest
 
 
+def test_sharded_aggregation_fast():
+    """Ungated: the collective half of the multichip step (psum accept
+    count + per-shard Poseidon digest chain under shard_map) on the
+    8-device virtual mesh, checked against the host digest fold."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from stark_verifier_tpu.ops import gl64_jax as gj
+    from stark_verifier_tpu.ops import gl64_np as gl
+    from stark_verifier_tpu.ops import poseidon_gl as pg
+    from stark_verifier_tpu.parallel.batch_verify import digest_chain
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    import jax.numpy as jnp
+    from functools import partial
+
+    try:
+        from jax import shard_map as sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+
+    try:
+        wrap = partial(sm, mesh=mesh, in_specs=(P("data"), P("data")),
+                       out_specs=(P("data"), P()), check_vma=False)
+    except TypeError:
+        wrap = partial(sm, mesh=mesh, in_specs=(P("data"), P("data")),
+                       out_specs=(P("data"), P()), check_rep=False)
+
+    @jax.jit
+    @wrap
+    def agg(pis, ok):
+        d = digest_chain(pis, ok)
+        count = jax.lax.psum(jnp.sum(ok.astype(jnp.uint32)), "data")
+        return gj.gmap(lambda a: a[None], d), count
+
+    rng = np.random.default_rng(0)
+    B, npi = 16, 5
+    pis_u64 = rng.integers(0, gl.P, size=(B, npi), dtype=np.uint64)
+    ok_np = np.ones(B, bool)
+    ok_np[5] = False
+
+    sharding = NamedSharding(mesh, P("data"))
+    pis = jax.device_put(gj.from_u64(pis_u64), sharding)
+    ok = jax.device_put(ok_np, sharding)
+    digests, count = agg(pis, ok)
+    assert int(np.asarray(count)) == B - 1
+    d_np = np.asarray(gj.to_u64(digests))
+    assert d_np.shape == (8, 4)
+
+    # host replay of shard 0's chain (proofs 0..1)
+    acc = np.zeros(4, np.uint64)
+    for i in range(2):
+        inputs = list(pis_u64[i]) + [np.uint64(bool(ok_np[i]))] + list(acc)
+        acc = np.array(
+            pg.hash_no_pad(gl, [gl.const(int(x)) for x in inputs]),
+            dtype=np.uint64)
+    assert (d_np[0] == acc).all()
+
+
 def test_dryrun_multichip_8():
     if not os.environ.get("SVT_SLOW"):
         pytest.skip("slow (full verifier compile); set SVT_SLOW=1")

@@ -29,7 +29,20 @@ def _load_workload():
     from stark_verifier_tpu.core.types import CircuitConfig, FriConfig
     from stark_verifier_tpu.models import flagship as FS
 
-    preset = os.environ.get("SVT_BENCH_PRESET", "full")
+    preset = os.environ.get("SVT_BENCH_PRESET", "zk20")
+    if preset == "zk20":
+        # THE reference workload (reference: plonky2_semaphore/access_set.rs:
+        # 68-84 + README.md:155): 2^20-member access set, zero-knowledge on
+        # (salted oracles + blinding rows), blowup 8, 28 queries, 16 PoW
+        # bits — every benched proof distinct. Generate the fixture offline
+        # with tools/gen_zk20_fixture.py (~30 min: 2^20 keys + tree).
+        from stark_verifier_tpu.semaphore.access_set import semaphore_config
+
+        batch = int(os.environ.get("SVT_BENCH_BATCH", "1024"))
+        proofs, common, vk = FS.build_semaphore_batch(
+            n_members_bits=20, batch=batch, config=semaphore_config(),
+            cache_tag="zk20")
+        return preset, proofs[:batch], common, vk
     if preset == "full":
         cfg, tag, members, min_degree = FS.bench_config(), "bench10", 10, 1 << 12
     elif preset == "mid":
@@ -62,6 +75,11 @@ def _emit(preset, common, pps, suffix=""):
 
 def inner():
     """The real device benchmark (runs in a subprocess)."""
+    mode = os.environ.get("SVT_BENCH_MODE", "vmap")
+    if mode == "batched":
+        # batch-in-lanes path: the Pallas Poseidon kernel sees full lanes
+        os.environ.setdefault("SVT_PALLAS", "1")
+
     import jax
 
     from stark_verifier_tpu.models import flagship as FS
@@ -70,9 +88,11 @@ def inner():
     _, to_gf = FS.make_verifier_fn(common, vk)
     pa_gf = to_gf(FS.batched_arrays(proofs))
     plat = jax.devices()[0].platform
-    exec_path = REPO / "fixtures" / f"exec_{preset}_b{len(proofs)}_{plat}.jex"
+    exec_path = (REPO / "fixtures"
+                 / f"exec_{preset}_{mode}_b{len(proofs)}_{plat}.jex")
     t0 = time.time()
-    fn = FS.compiled_verifier(common, vk, pa_gf, cache_path=exec_path)
+    fn = FS.compiled_verifier(common, vk, pa_gf, cache_path=exec_path,
+                              mode=mode)
     ok = np.asarray(fn(pa_gf))
     first = time.time() - t0
     assert ok.all(), "benchmark proofs failed verification"

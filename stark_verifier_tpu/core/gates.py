@@ -17,6 +17,7 @@ from .rings import (
     alg_mul_add,
     alg_scalar_mul,
     alg_scalar_mul_add,
+    alg_small_mul_add,
     alg_sub,
     alg_zero,
 )
@@ -426,9 +427,8 @@ class PoseidonMdsGate(Gate):
         for r in range(T):
             res = alg_zero(R)
             for i in range(T):
-                c = R.const(MDS_MATRIX_CIRC[i])
-                res = alg_scalar_mul_add(R, c, state[(i + r) % T], res)
-            res = alg_scalar_mul_add(R, R.const(MDS_MATRIX_DIAG[r]), state[r], res)
+                res = alg_small_mul_add(R, MDS_MATRIX_CIRC[i], state[(i + r) % T], res)
+            res = alg_small_mul_add(R, MDS_MATRIX_DIAG[r], state[r], res)
             d = alg_sub(R, _alg_wires(W, self.wires_output(r)), res)
             out.extend([d[0], d[1]])
         return out
@@ -484,8 +484,8 @@ class PoseidonGate(Gate):
     def _mds_row(self, R, state, r):
         res = R.zero()
         for i in range(T):
-            res = R.mul_add(R.const(MDS_MATRIX_CIRC[i]), state[(i + r) % T], res)
-        return R.mul_add(R.const(MDS_MATRIX_DIAG[r]), state[r], res)
+            res = R.add(R.small_mul(MDS_MATRIX_CIRC[i], state[(i + r) % T]), res)
+        return R.add(R.small_mul(MDS_MATRIX_DIAG[r], state[r]), res)
 
     def _mds_layer(self, R, state):
         return [self._mds_row(R, state, r) for r in range(T)]
@@ -512,7 +512,7 @@ class PoseidonGate(Gate):
         return result
 
     def _mds_partial_layer_fast(self, R, state, r):
-        d = R.mul(R.const(MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]), state[0])
+        d = R.small_mul(MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0], state[0])
         for i in range(1, T):
             t = R.const(FAST_PARTIAL_ROUND_W_HATS[r * (T - 1) + (i - 1)])
             d = R.mul_add(t, state[i], d)

@@ -72,6 +72,15 @@ class BaseRing:
             acc = self.mul_add(acc, base, t)
         return acc
 
+    def small_mul(self, k: int, a):
+        """a * k for a small static python-int constant."""
+        if hasattr(self.F, "mul_small"):
+            return self.F.mul_small(a, k)
+        return self.F.mul(self.const(k), a)
+
+    def mul_w(self, a):
+        return self.small_mul(W, a)
+
 
 class ExtRing:
     """R = GF(p^2) = GF(p)[x]/(x^2-7), elements are (c0, c1) pairs."""
@@ -125,6 +134,16 @@ class ExtRing:
     def reduce_with_powers(self, base, terms):
         return ext2.reduce_with_powers(self.F, base, terms)
 
+    def small_mul(self, k: int, a):
+        """a * k (k a small static python int), per component."""
+        if hasattr(self.F, "mul_small"):
+            return (self.F.mul_small(a[0], k), self.F.mul_small(a[1], k))
+        c = self.F.const(k)
+        return (self.F.mul(c, a[0]), self.F.mul(c, a[1]))
+
+    def mul_w(self, a):
+        return self.small_mul(W, a)
+
 
 # ---------------------------------------------------------------- R-algebra
 # The D=2 "extension algebra" over R: pairs (a0, a1) of R elements with the
@@ -146,9 +165,12 @@ def alg_sub(R, a, b):
 
 
 def alg_mul(R, a, b):
-    w = R.const(W)
-    c0 = R.add(R.mul(a[0], b[0]), R.mul(w, R.mul(a[1], b[1])))
-    c1 = R.add(R.mul(a[0], b[1]), R.mul(a[1], b[0]))
+    # Karatsuba over R (same identity as ext2.mul): 3 R-muls + a mul-by-7
+    t0 = R.mul(a[0], b[0])
+    t1 = R.mul(a[1], b[1])
+    cross = R.mul(R.add(a[0], a[1]), R.add(b[0], b[1]))
+    c0 = R.add(t0, R.mul_w(t1))
+    c1 = R.sub(cross, R.add(t0, t1))
     return (c0, c1)
 
 
@@ -163,3 +185,8 @@ def alg_scalar_mul(R, s, a):
 
 def alg_scalar_mul_add(R, s, a, c):
     return alg_add(R, alg_scalar_mul(R, s, a), c)
+
+
+def alg_small_mul_add(R, k: int, a, c):
+    """a * k + c with k a small static python int (e.g. MDS entries)."""
+    return (R.add(R.small_mul(k, a[0]), c[0]), R.add(R.small_mul(k, a[1]), c[1]))

@@ -63,6 +63,51 @@ def build_semaphore_batch(n_members_bits=8, batch=8, config=None,
     return proofs, data.common, data.vk
 
 
+def dryrun_config() -> CircuitConfig:
+    """Minimal config for the multichip dryrun: 2 FRI queries, cap 0.
+
+    The dryrun validates mesh sharding + collectives on XLA:CPU, where
+    compile time scales with graph size — so the circuit (see
+    build_dryrun_batch) avoids PoseidonGate, whose vanishing-poly evaluation
+    dominates the semaphore verifier's trace."""
+    return CircuitConfig(
+        fri_config=FriConfig(rate_bits=3, cap_height=0, proof_of_work_bits=4,
+                             num_query_rounds=2)
+    )
+
+
+def build_dryrun_batch(batch=16, cache_tag="dryrun2q"):
+    """A tiny arithmetic circuit (ArithmeticGate/ConstantGate/PublicInput/
+    Noop — no PoseidonGate) proved for `batch` lanes: the multichip-dryrun
+    workload. Exercises the identical sharded verify + psum + digest-chain
+    program structure as the flagship at a fraction of the XLA:CPU compile
+    cost."""
+    from ..prover.builder import CircuitBuilder
+    from ..prover.prove import prove_batch
+
+    if cache_tag:
+        path = FIXTURE_DIR / f"sem_{cache_tag}.npz"
+        if path.exists():
+            proofs, common, vk = load_proofs(path)
+            if len(proofs) >= batch:
+                return proofs[:batch], common, vk
+    b = CircuitBuilder(dryrun_config())
+    xs = b.add_virtual_targets(4)
+    acc = b.mul(xs[0], xs[1])
+    acc = b.arithmetic(3, 5, acc, xs[2], xs[3])
+    b.register_public_inputs(xs)
+    b.register_public_input(acc)
+    data = b.build()
+    rng = np.random.default_rng(7)
+    inputs = {t: rng.integers(0, gl.P, size=batch, dtype=np.uint64) for t in xs}
+    proofs = prove_batch(data, inputs, batch)
+    if cache_tag:
+        FIXTURE_DIR.mkdir(exist_ok=True)
+        save_proofs(FIXTURE_DIR / f"sem_{cache_tag}.npz", proofs,
+                    data.common, data.vk)
+    return proofs, data.common, data.vk
+
+
 def batched_arrays(proofs):
     """Stack per-proof arrays along a leading batch axis (u64 numpy)."""
     pas = [V.proof_to_arrays(p) for p in proofs]
@@ -81,6 +126,26 @@ def make_verifier_fn(common, vk):
         return V.verify(gj, common, vk_cap, digest, pa)
 
     fn = jax.jit(jax.vmap(verify_one))
+
+    def to_gf(batched):
+        return {k: gj.from_u64(v) for k, v in batched.items()}
+
+    return fn, to_gf
+
+
+def make_verifier_fn_batched(common, vk):
+    """Batch-in-lanes verifier: the proof batch rides as the leading axis of
+    every element array (core/verifier_batched.py), keeping VPU lanes full
+    and letting the Pallas Poseidon kernel (SVT_PALLAS=1) see B*Q-wide
+    batches in the transcript/Merkle stages."""
+    import jax
+
+    from ..core import verifier_batched as VB
+
+    vk_cap = gj.from_u64(vk.constants_sigmas_cap)
+    digest = gj.from_u64(vk.circuit_digest)
+
+    fn = jax.jit(lambda pa: VB.verify_batched(gj, common, vk_cap, digest, pa))
 
     def to_gf(batched):
         return {k: gj.from_u64(v) for k, v in batched.items()}
@@ -113,9 +178,12 @@ def load_compiled(path):
     return deserialize_and_load(payload, in_tree, out_tree)
 
 
-def compiled_verifier(common, vk, pa_gf, cache_path=None):
+def compiled_verifier(common, vk, pa_gf, cache_path=None, mode="vmap"):
     """AOT-compile (or load) the batched verifier for these array shapes."""
-    fn, _ = make_verifier_fn(common, vk)
+    if mode == "batched":
+        fn, _ = make_verifier_fn_batched(common, vk)
+    else:
+        fn, _ = make_verifier_fn(common, vk)
     if cache_path and Path(cache_path).exists():
         try:
             return load_compiled(cache_path)

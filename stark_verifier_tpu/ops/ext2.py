@@ -44,13 +44,22 @@ def neg(F, a):
     return (F.neg(a[0]), F.neg(a[1]))
 
 
+def mul_w(F, x):
+    """x * 7 (the extension twist) as a cheap small-constant multiply."""
+    if hasattr(F, "mul_small"):
+        return F.mul_small(x, W)
+    return F.mul(F.const(W), x)
+
+
 def mul(F, a, b):
-    # (a0 + a1 x)(b0 + b1 x) = a0 b0 + 7 a1 b1 + (a0 b1 + a1 b0) x
-    a0b0 = F.mul(a[0], b[0])
-    a1b1 = F.mul(a[1], b[1])
-    w = F.const(W)
-    c0 = F.add(a0b0, F.mul(w, a1b1))
-    c1 = F.add(F.mul(a[0], b[1]), F.mul(a[1], b[0]))
+    # Karatsuba: (a0 + a1 x)(b0 + b1 x) = (t0 + 7 t1) + (cross - t0 - t1) x
+    # with t0 = a0 b0, t1 = a1 b1, cross = (a0+a1)(b0+b1) — 3 base muls
+    # instead of the schoolbook 4 (plus a shift-add mul-by-7).
+    t0 = F.mul(a[0], b[0])
+    t1 = F.mul(a[1], b[1])
+    cross = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
+    c0 = F.add(t0, mul_w(F, t1))
+    c1 = F.sub(cross, F.add(t0, t1))
     return (c0, c1)
 
 
@@ -63,7 +72,11 @@ def mul_sub(F, a, b, c):
 
 
 def square(F, a):
-    return mul(F, a, a)
+    # (a0 + a1 x)^2 = (a0^2 + 7 a1^2) + (2 a0 a1) x — 3 base muls
+    a0sq = F.mul(a[0], a[0])
+    a1sq = F.mul(a[1], a[1])
+    a0a1 = F.mul(a[0], a[1])
+    return (F.add(a0sq, mul_w(F, a1sq)), F.add(a0a1, a0a1))
 
 
 def scalar_mul(F, a, s):
@@ -75,7 +88,7 @@ def inv(F, a):
     # conj = a0 - a1 x; norm = a0^2 - 7 a1^2 (base field); a^-1 = conj/norm
     a0sq = F.mul(a[0], a[0])
     a1sq = F.mul(a[1], a[1])
-    norm = F.sub(a0sq, F.mul(F.const(W), a1sq))
+    norm = F.sub(a0sq, mul_w(F, a1sq))
     ninv = F.inv(norm)
     return (F.mul(a[0], ninv), F.neg(F.mul(a[1], ninv)))
 

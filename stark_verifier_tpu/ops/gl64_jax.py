@@ -210,6 +210,20 @@ def mul_add(a: GF, b: GF, c: GF) -> GF:
     return add(mul(a, b), c)
 
 
+def mul_small(a: GF, k: int) -> GF:
+    """a * k for a small static python-int constant (0 <= k < 2^15).
+
+    One scalar multiply per limb plane plus a renorm — far cheaper than the
+    full 4x4 schoolbook `mul` (columns stay < 2^31, within _renorm4 bounds)."""
+    assert 0 <= k < (1 << 15)
+    if k == 0:
+        return zeros(a.shape)
+    if k == 1:
+        return a
+    ku = np.uint32(k)
+    return _renorm4(a.l0 * ku, a.l1 * ku, a.l2 * ku, a.l3 * ku)
+
+
 def square(a: GF) -> GF:
     return mul(a, a)
 

@@ -105,6 +105,25 @@ def mul_add(a, b, c):
     return add(mul(a, b), c)
 
 
+def mul_small(a, k: int):
+    """a * k for a small static python-int constant (0 <= k < 2^31).
+
+    Avoids the full 64x64 product: two 32x32 partial products suffice."""
+    assert 0 <= k < (1 << 31)
+    if k == 0:
+        return np.zeros_like(np.asarray(a, dtype=np.uint64))
+    if k == 1:
+        return np.asarray(a, dtype=np.uint64)
+    ku = np.uint64(k)
+    a = np.asarray(a, dtype=np.uint64)
+    lo32 = (a & _U32) * ku          # < 2^63
+    hi32 = (a >> _32) * ku          # < 2^63
+    t = (lo32 >> _32) + hi32        # < 2^63: exact
+    lo = (lo32 & _U32) | ((t & _U32) << _32)
+    hi = t >> _32
+    return reduce128(lo, hi)
+
+
 def square(a):
     return mul(a, a)
 

@@ -118,3 +118,18 @@ class TestJaxBackend:
         assert (got == gl.mul_add(a, b, a)).all()
         vm = jax.vmap(gj.mul)(gj.from_u64(a.reshape(8, 16)), gj.from_u64(b.reshape(8, 16)))
         assert (gj.to_u64(vm) == gl.mul(a, b).reshape(8, 16)).all()
+
+
+def test_mul_small_both_backends():
+    """mul_small (small-constant multiply) matches the full mul, incl. edges.
+
+    The JAX backend also accepts non-canonical representatives in [p, 2^64)."""
+    edges = np.array([0, 1, P - 1, P - 2, 0xFFFFFFFF, P, 2**64 - 1],
+                     dtype=np.uint64)
+    a = np.concatenate([edges, rand_u64(64)])
+    canon = a % np.uint64(P)
+    for k in (0, 1, 2, 7, 49, 32767):
+        want = gl.mul(canon, np.full_like(canon, np.uint64(k)))
+        assert (gl.mul_small(canon, k) == want).all()
+        got = gj.to_u64(gj.mul_small(gj.from_u64(a), k))
+        assert (got == want).all()

@@ -22,9 +22,14 @@ RATE = pg.RATE
 
 
 class Challenger:
-    def __init__(self, F, shape=()):
+    def __init__(self, F, shape=(), permute=None):
+        """`permute` selects the hash config (None = Goldilocks Poseidon;
+        pass ops/hashers.get_permute("bn254", F) for the
+        Bn254PoseidonGoldilocksConfig transcript; reference:
+        plonky2_config.rs:70-75)."""
         self.F = F
         self.shape = shape
+        self.permute_fn = permute or pg.permute
         self.state = [F.zeros(shape) for _ in range(WIDTH)]
         self.input_buffer = []
         self.output_buffer = []
@@ -47,7 +52,8 @@ class Challenger:
             if n_full >= 2:
                 self.output_buffer = []
                 chunks = [elems[i * RATE : (i + 1) * RATE] for i in range(n_full)]
-                self.state = pg.absorb_chunks_scan(self.F, self.state, chunks)
+                self.state = pg.absorb_chunks_scan(
+                    self.F, self.state, chunks, permute=self.permute_fn)
                 self.output_buffer = list(self.state[:RATE])
                 elems = elems[n_full * RATE :]
         for e in elems:
@@ -66,7 +72,7 @@ class Challenger:
 
     # -------------------------------------------------------------- squeeze
     def _permute(self):
-        self.state = self.F.unstack(pg.permute(self.F, self.F.stack(self.state)))
+        self.state = self.F.unstack(self.permute_fn(self.F, self.F.stack(self.state)))
 
     def _duplexing(self):
         assert len(self.input_buffer) <= RATE

@@ -21,7 +21,10 @@ class MerkleTree:
     cap_height h: the top h levels are cut off; the cap is the 2^h roots.
     """
 
-    def __init__(self, leaves: np.ndarray, cap_height: int = 0):
+    def __init__(self, leaves: np.ndarray, cap_height: int = 0, permute=None):
+        """`permute` selects the hash config (None = Goldilocks Poseidon;
+        the BN254 bridge permutation for Bn254PoseidonGoldilocksConfig
+        oracles; reference: plonky2_config.rs:70-75)."""
         n = leaves.shape[-2]
         bits = log2_strict(n)
         assert cap_height <= bits
@@ -29,6 +32,7 @@ class MerkleTree:
         self.leaves = leaves
         self.cap_height = cap_height
         self.depth = bits - cap_height
+        self.permute = permute or pg.permute
 
         level = self._hash_leaves(leaves)  # [..., n, 4]
         self.levels = [level]
@@ -40,16 +44,17 @@ class MerkleTree:
                 [left[..., i] for i in range(4)],
                 [right[..., i] for i in range(4)],
                 shape=left.shape[:-1],
+                permute=self.permute,
             )
             level = np.stack(out, axis=-1)
             self.levels.append(level)
         self.cap = level  # [..., 2^cap_height, 4]
 
-    @staticmethod
-    def _hash_leaves(leaves: np.ndarray) -> np.ndarray:
+    def _hash_leaves(self, leaves: np.ndarray) -> np.ndarray:
         w = leaves.shape[-1]
         cols = [leaves[..., i] for i in range(w)]
-        out = pg.hash_or_noop(gnp, cols, shape=leaves.shape[:-1])
+        out = pg.hash_or_noop(gnp, cols, shape=leaves.shape[:-1],
+                              permute=self.permute)
         return np.stack(out, axis=-1)
 
     def prove(self, index: int) -> np.ndarray:
@@ -95,7 +100,8 @@ class MerkleTree:
         )
 
 
-def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap, cap_index):
+def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap,
+                               cap_index, permute=None):
     """Backend-generic path verification.
 
     leaf_data: list of elements (each possibly batched over queries)
@@ -105,15 +111,18 @@ def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap, cap_inde
     cap_index: integer array selecting the cap entry
     Returns a boolean accept mask.
     """
-    state = pg.hash_or_noop(F, leaf_data, shape=_shape_of(leaf_data[0]))
+    permute = permute or pg.permute
+    state = pg.hash_or_noop(F, leaf_data, shape=_shape_of(leaf_data[0]),
+                            permute=permute)
     if getattr(F, "IS_JAX", False) and len(index_bits) >= 2:
-        state = _merkle_walk_scan(F, state, index_bits, siblings)
+        state = _merkle_walk_scan(F, state, index_bits, siblings, permute=permute)
     else:
         for bit, sib in zip(index_bits, siblings):
             mask = bit != 0 if not _is_bool(bit) else bit
             left = [F.select(mask, sib[i], state[i]) for i in range(4)]
             right = [F.select(mask, state[i], sib[i]) for i in range(4)]
-            state = pg.two_to_one(F, left, right, shape=_shape_of(state[0]))
+            state = pg.two_to_one(F, left, right, shape=_shape_of(state[0]),
+                                  permute=permute)
     expected = F.take(cap, cap_index, axis=0)  # [..., 4]
     ok = None
     for i in range(4):
@@ -140,12 +149,13 @@ def _index_last(F, stacked, i):
     return stacked[..., i]
 
 
-def _merkle_walk_scan(F, state4, index_bits, siblings):
+def _merkle_walk_scan(F, state4, index_bits, siblings, permute=None):
     """Scan-based path walk (JAX): one lax.scan over the tree depth with a
     single Poseidon compression in the body."""
     import jax
     import jax.numpy as jnp
 
+    permute = permute or pg.permute
     shape = _shape_of(state4[0])
     depth = len(index_bits)
     masks = jnp.stack(
@@ -160,19 +170,20 @@ def _merkle_walk_scan(F, state4, index_bits, siblings):
         left = F.select(mask, sib, st)
         right = F.select(mask, st, sib)
         st12 = F.concat([left, right, cap_zeros], axis=0)
-        out = pg.permute(F, st12)
+        out = permute(F, st12)
         return F.index(out, slice(0, 4)), None
 
     st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs))
     return F.unstack(st)
 
 
-def merkle_walk_scan_masked(F, state4, bits_mat, sibs, valid):
+def merkle_walk_scan_masked(F, state4, bits_mat, sibs, valid, permute=None):
     """Masked scan path walk (JAX): bits_mat [d, ...] uint, sibs GF
     [d, 4, ...], valid [d] bool — padded levels pass the state through."""
     import jax
     import jax.numpy as jnp
 
+    permute = permute or pg.permute
     shape = _shape_of(state4[0])
     masks = jnp.broadcast_to(jnp.asarray(bits_mat != 0), bits_mat.shape[:1] + shape)
     cap_zeros = F.zeros((4,) + shape)
@@ -183,7 +194,7 @@ def merkle_walk_scan_masked(F, state4, bits_mat, sibs, valid):
         left = F.select(mask, sib, st)
         right = F.select(mask, st, sib)
         st12 = F.concat([left, right, cap_zeros], axis=0)
-        out = F.index(pg.permute(F, st12), slice(0, 4))
+        out = F.index(permute(F, st12), slice(0, 4))
         return F.select(v, out, st), None
 
     st, _ = jax.lax.scan(body, F.stack(state4), (masks, sibs, validb))

@@ -39,6 +39,11 @@ class CircuitConfig:
     zero_knowledge: bool = False
     max_quotient_degree_factor: int = 8
     fri_config: FriConfig = field(default_factory=FriConfig)
+    # transcript/Merkle hash config: "poseidon" = PoseidonGoldilocksConfig,
+    # "bn254" = Bn254PoseidonGoldilocksConfig (reference:
+    # bn245_poseidon/plonky2_config.rs:53-104). InnerHasher (public-input
+    # hashing, in-circuit gadget hashes) is always Goldilocks Poseidon.
+    hasher: str = "poseidon"
 
 
 @dataclass

@@ -95,11 +95,19 @@ class ProofChallenges:
         self.fri_query_indices = None
 
 
+def _perm_for(F, common):
+    """Transcript/Merkle permutation for the proof's hash config
+    (reference: plonky2_config.rs:53-104)."""
+    from ..ops.hashers import get_permute
+
+    return get_permute(getattr(common.config, "hasher", "poseidon"), F)
+
+
 def get_challenges(F, common: CommonData, pa: dict, pi_hash, circuit_digest):
     """Replay the exact challenger schedule (reference:
     plonk_verifier_chip.rs:55-154)."""
     nc = common.config.num_challenges
-    ch = Challenger(F)
+    ch = Challenger(F, permute=_perm_for(F, common))
     for e in _scalar_list(F, circuit_digest):
         ch.observe_element(e)
     for e in pi_hash:
@@ -380,11 +388,12 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
     # walk over 4*Q lanes (the 4 oracle trees share depth and index bits)
     oracles = common.fri_oracles()
     depth = lde_bits - cap_height
+    perm = _perm_for(F, common)
     caps = [vk_cap, pa["wires_cap"], pa["zs_pp_cap"], pa["quotient_cap"]]
     states = []
     for o in range(4):
         leaf = _scalar_list(F, pa[f"init_evals_{o}"])
-        states.append(pg.hash_or_noop(F, leaf, shape=_shape(leaf[0])))
+        states.append(pg.hash_or_noop(F, leaf, shape=_shape(leaf[0]), permute=perm))
     big_state = [F.concat([states[o][i] for o in range(4)], axis=0) for i in range(4)]
     big_bits = [
         _tile4(F, b) for b in bits[:depth]
@@ -403,13 +412,14 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
     from .merkle import _merkle_walk_scan
 
     if getattr(F, "IS_JAX", False) and depth >= 2:
-        big_state = _merkle_walk_scan(F, big_state, big_bits, big_sibs)
+        big_state = _merkle_walk_scan(F, big_state, big_bits, big_sibs, permute=perm)
     else:
         for b, sib in zip(big_bits, big_sibs):
             mask = b != 0
             left = [F.select(mask, sib[i], big_state[i]) for i in range(4)]
             right = [F.select(mask, big_state[i], sib[i]) for i in range(4)]
-            big_state = pg.two_to_one(F, left, right, shape=_shape(left[0]))
+            big_state = pg.two_to_one(F, left, right, shape=_shape(left[0]),
+                                      permute=perm)
     nq_lanes = _shape(bits[0])[0] if _shape(bits[0]) else 1
     for o in range(4):
         expected = F.take(caps[o], cap_index, axis=0)  # [Q, 4]
@@ -493,7 +503,8 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
             for d in range(d_i)
         ]
         cap_li = _row(F, pa["commit_phase_caps"], li)
-        res = verify_merkle_proof_to_cap(F, leaf, coset_bits[:d_i], siblings, cap_li, cap_index)
+        res = verify_merkle_proof_to_cap(F, leaf, coset_bits[:d_i], siblings,
+                                         cap_li, cap_index, permute=perm)
         ok = ok & _all(res)
 
         x = F.mul(x, x)
@@ -522,6 +533,7 @@ def _fold_layers_scan(F, common, ch, pa, bits, cap_index, prev_eval, x, ok):
 
     from .merkle import merkle_walk_scan_masked
 
+    perm = _perm_for(F, common)
     fp = common.fri_params
     lde_bits = fp.lde_bits
     cap_height = fp.config.cap_height
@@ -585,8 +597,8 @@ def _fold_layers_scan(F, common, ch, pa, bits, cap_index, prev_eval, x, ok):
         prev = ext2.add(F, ext2.div(F, num, den), e_0)
 
         leaf = [e_0[0], e_0[1], e_1[0], e_1[1]]
-        state = pg.hash_or_noop(F, leaf, shape=qshape)
-        state = merkle_walk_scan_masked(F, state, wb, sib, vmask)
+        state = pg.hash_or_noop(F, leaf, shape=qshape, permute=perm)
+        state = merkle_walk_scan_masked(F, state, wb, sib, vmask, permute=perm)
         expected = F.take(cap, cap_index, axis=0)  # [Q, 4]
         for i in range(4):
             okc = okc & jnp.all(F.equal(_col(F, expected, i), state[i]))

@@ -1,0 +1,72 @@
+"""Hash-config registry: the transcript/Merkle permutation is the single
+switch point between `PoseidonGoldilocksConfig` and
+`Bn254PoseidonGoldilocksConfig` (reference: bn245_poseidon/plonky2_config.rs:
+53-104 — Hasher switches to the BN254 bridge sponge, InnerHasher stays
+Goldilocks Poseidon, and the sponge protocol itself is unchanged width-12
+rate-8 overwrite mode).
+
+`get_permute(name, F)` returns a `permute(F, state12)` callable for the
+backend: the plain Goldilocks Poseidon, or the 3-GL-per-Fr packed t=5 BN254
+Poseidon (reference: bn245_poseidon/native.rs:43-77). For the numpy backend
+the bridge permutation runs through the jitted JAX kernel (batched limb
+Montgomery arithmetic; ops/fr_bn254_jax.py) — exact, and far faster than
+python-int bigints for the prover's Merkle forests.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import poseidon_gl as pg
+
+POSEIDON = "poseidon"
+BN254 = "bn254"
+
+_jit_bridge = None
+_BRIDGE_CHUNK = 1024
+
+
+def _bridge_permute_np(F, state):
+    """Bridge permutation for the numpy backend: [12, ...] uint64 in/out.
+
+    Lanes are flattened and padded to fixed 1024-wide chunks so the jitted
+    kernel compiles exactly once per process (XLA:CPU compiles of the
+    Montgomery-limb graph cost minutes per shape)."""
+    global _jit_bridge
+    import jax
+
+    from . import fr_bn254_jax as fr
+    from . import gl64_jax as gj
+
+    if _jit_bridge is None:
+        _jit_bridge = jax.jit(fr.permute12_bridge)
+    state = np.ascontiguousarray(np.asarray(state, np.uint64))
+    shape = state.shape[1:]
+    flat = state.reshape(12, -1)
+    n = flat.shape[1]
+    chunks = []
+    for start in range(0, n, _BRIDGE_CHUNK):
+        piece = flat[:, start : start + _BRIDGE_CHUNK]
+        w = piece.shape[1]
+        if w < _BRIDGE_CHUNK:
+            piece = np.concatenate(
+                [piece, np.zeros((12, _BRIDGE_CHUNK - w), np.uint64)], axis=1)
+        out = gj.to_u64(_jit_bridge(gj.from_u64(piece)))
+        chunks.append(out[:, :w])
+    return np.concatenate(chunks, axis=1).reshape((12,) + shape)
+
+
+def _bridge_permute_jax(F, state):
+    from . import fr_bn254_jax as fr
+
+    return fr.permute12_bridge(state)
+
+
+def get_permute(name: str, F):
+    """Resolve a permutation callable for hash-config `name` and backend `F`."""
+    if name in (None, POSEIDON):
+        return pg.permute
+    if name == BN254:
+        if getattr(F, "IS_JAX", False):
+            return _bridge_permute_jax
+        return _bridge_permute_np
+    raise ValueError(f"unknown hasher config: {name}")

@@ -83,7 +83,7 @@ def permute(F, state):
     return F.stack(elems)
 
 
-def absorb_chunks_scan(F, state, chunks):
+def absorb_chunks_scan(F, state, chunks, permute=permute):
     """Absorb `k` full rate-8 chunks into `state` (list of 12) with one
     lax.scan (JAX backend): chunks is a list of k lists of 8 elements."""
     import jax
@@ -102,16 +102,18 @@ def absorb_chunks_scan(F, state, chunks):
     return F.unstack(st)
 
 
-def hash_n_to_m_no_pad(F, inputs, num_outputs: int, shape=()):
+def hash_n_to_m_no_pad(F, inputs, num_outputs: int, shape=(), permute=permute):
     """plonky2 `hash_n_to_m_no_pad`: overwrite-mode absorb in chunks of 8
     (permute after every chunk, even a short final one), then squeeze from
-    the front of the rate window."""
+    the front of the rate window. `permute` selects the hash config
+    (reference: plonky2_config.rs:53-104 — the sponge protocol is identical
+    for both configs, only the permutation differs)."""
     state = [F.zeros(shape) for _ in range(WIDTH)]
     n_full = len(inputs) // RATE
     start0 = 0
     if getattr(F, "IS_JAX", False) and n_full >= 2:
         chunks = [inputs[i * RATE : (i + 1) * RATE] for i in range(n_full)]
-        state = absorb_chunks_scan(F, state, chunks)
+        state = absorb_chunks_scan(F, state, chunks, permute=permute)
         start0 = n_full * RATE
     for start in range(start0, len(inputs), RATE):
         chunk = inputs[start : start + RATE]
@@ -127,19 +129,19 @@ def hash_n_to_m_no_pad(F, inputs, num_outputs: int, shape=()):
         state = F.unstack(permute(F, F.stack(state)))
 
 
-def hash_no_pad(F, inputs, shape=()):
-    return hash_n_to_m_no_pad(F, inputs, OUT, shape)
+def hash_no_pad(F, inputs, shape=(), permute=permute):
+    return hash_n_to_m_no_pad(F, inputs, OUT, shape, permute=permute)
 
 
-def hash_or_noop(F, inputs, shape=()):
+def hash_or_noop(F, inputs, shape=(), permute=permute):
     """plonky2 `hash_or_noop`: <= 4 inputs are returned zero-padded raw,
     otherwise hash (reference: chip/merkle_proof_chip.rs:51-56)."""
     if len(inputs) <= OUT:
         return list(inputs) + [F.zeros(shape) for _ in range(OUT - len(inputs))]
-    return hash_no_pad(F, inputs, shape)
+    return hash_no_pad(F, inputs, shape, permute=permute)
 
 
-def two_to_one(F, left, right, shape=()):
+def two_to_one(F, left, right, shape=(), permute=permute):
     """Merkle 8 -> 4 compression: permute [l0..l3, r0..r3, 0, 0, 0, 0] and
     take the first 4 lanes (reference: chip/merkle_proof_chip.rs:58-70)."""
     state = list(left) + list(right) + [F.zeros(shape) for _ in range(WIDTH - 2 * OUT)]

@@ -114,24 +114,25 @@ class CircuitBuilder:
 
     # ------------------------------------------------------------- gadgets
     def arithmetic(self, c0: int, c1: int, x: Target, y: Target, z: Target) -> Target:
-        """returns c0*x*y + c1*z via an ArithmeticGate slot."""
-        if not hasattr(self, "_arith_slot"):
-            self._arith_slot = None
+        """returns c0*x*y + c1*z via an ArithmeticGate slot. Open slots are
+        kept per (c0, c1) pair so interleaved coefficient pairs (as the
+        recursion gadgets emit) share rows."""
+        c0, c1 = c0 % gl.P, c1 % gl.P
+        slots = getattr(self, "_arith_slots", None)
+        if slots is None:
+            slots = self._arith_slots = {}
         gate = G.ArithmeticGate(num_ops=self._arith_ops())
-        if (
-            self._arith_slot is None
-            or self._arith_slot[2] != (c0, c1)
-            or self._arith_slot[1] >= gate.num_ops
-        ):
+        cur = slots.get((c0, c1))
+        if cur is None or cur[1] >= gate.num_ops:
             row = self.add_gate(gate, [c0, c1])
-            self._arith_slot = [row, 0, (c0, c1)]
-        row, i, _ = self._arith_slot
+            cur = slots[(c0, c1)] = [row, 0]
+        row, i = cur
         w0, w1, wa, wo = G.ArithmeticGate(self._arith_ops()).wires(i)
         self.connect(x, ("w", row, w0))
         self.connect(y, ("w", row, w1))
         self.connect(z, ("w", row, wa))
         out = ("w", row, wo)
-        self._arith_slot[1] += 1
+        cur[1] += 1
 
         def gen(s, x=x, y=y, z=z, row=row, ws=(w0, w1, wa, wo), c0=c0, c1=c1):
             vx, vy, vz = s.get(x), s.get(y), s.get(z)
@@ -371,17 +372,22 @@ class CircuitBuilder:
             num_partial_products=num_partial_products,
         )
 
-        # ---- constants-sigmas oracle commitment
+        # ---- constants-sigmas oracle commitment (with the config's hash;
+        # reference: plonky2_config.rs:70-75 — Hasher hashes vk data too)
+        from ..ops.hashers import get_permute
+
+        perm = get_permute(getattr(cfg, "hasher", "poseidon"), gl)
         cs_values = np.concatenate([selector_vals, const_vals, sigma_vals], axis=0)
         cs_coeffs = ntt.intt(cs_values)
         shift = 7
         cs_lde = ntt.coset_lde(cs_coeffs, fri_cfg.rate_bits, shift)
         leaves = reverse_index_bits(np.ascontiguousarray(cs_lde.T))
-        cs_tree = MerkleTree(leaves, fri_cfg.cap_height)
+        cs_tree = MerkleTree(leaves, fri_cfg.cap_height, permute=perm)
 
         digest_inputs = list(cs_tree.cap.reshape(-1)) + [np.uint64(degree_bits)]
         circuit_digest = np.stack(
-            pg.hash_no_pad(gl, [np.asarray(x, np.uint64) for x in digest_inputs])
+            pg.hash_no_pad(gl, [np.asarray(x, np.uint64) for x in digest_inputs],
+                           permute=perm)
         )
 
         vk = VerifierOnlyData(constants_sigmas_cap=cs_tree.cap, circuit_digest=circuit_digest)
@@ -486,13 +492,17 @@ def _attach_gadgets():
     def mul_extension(self, c0: int, x2, y2):
         """Extension mul via MulExtensionGate: returns ext pair of targets
         constrained to c0 * x * y (reference: gates/multiplication_extension.rs)."""
-        slots = getattr(self, "_mulext_slot", None)
+        c0 = c0 % 0xFFFFFFFF00000001
+        slots = getattr(self, "_mulext_slots", None)
+        if slots is None:
+            slots = self._mulext_slots = {}
         gate = G.MulExtensionGate(13)
-        if slots is None or slots[2] != c0 or slots[1] >= gate.num_ops:
+        cur = slots.get(c0)
+        if cur is None or cur[1] >= gate.num_ops:
             row = self.add_gate(gate, [c0])
-            self._mulext_slot = [row, 0, c0]
-        row, i, _ = self._mulext_slot
-        self._mulext_slot[1] += 1
+            cur = slots[c0] = [row, 0]
+        row, i = cur
+        cur[1] += 1
         b = 6 * i
         for k in range(2):
             self.connect(x2[k], ("w", row, b + k))
@@ -518,13 +528,17 @@ def _attach_gadgets():
     def arithmetic_extension(self, c0: int, c1: int, x2, y2, z2):
         """c0*x*y + c1*z over the extension
         (reference: gates/arithmetic_extension.rs)."""
+        c0, c1 = c0 % 0xFFFFFFFF00000001, c1 % 0xFFFFFFFF00000001
         gate = G.ArithmeticExtensionGate(10)
-        slot = getattr(self, "_arithext_slot", None)
-        if slot is None or slot[2] != (c0, c1) or slot[1] >= gate.num_ops:
+        slots = getattr(self, "_arithext_slots", None)
+        if slots is None:
+            slots = self._arithext_slots = {}
+        cur = slots.get((c0, c1))
+        if cur is None or cur[1] >= gate.num_ops:
             row = self.add_gate(gate, [c0, c1])
-            self._arithext_slot = [row, 0, (c0, c1)]
-        row, i, _ = self._arithext_slot
-        self._arithext_slot[1] += 1
+            cur = slots[(c0, c1)] = [row, 0]
+        row, i = cur
+        cur[1] += 1
         b = 8 * i
         for k in range(2):
             self.connect(x2[k], ("w", row, b + k))

@@ -73,9 +73,15 @@ def _vlog(msg):
         print(f"[prove {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
+def prove_batch(data: CircuitData, inputs: Dict, batch: int,
+                hasher: str = None) -> List[Proof]:
     common = data.common
     cfg = common.config
+    # transcript/Merkle hash config (reference: plonky2_config.rs:53-104);
+    # public-input hashing below stays Goldilocks Poseidon (InnerHasher)
+    from ..ops.hashers import get_permute
+
+    hperm = get_permute(hasher or getattr(cfg, "hasher", "poseidon"), gl)
     n = common.degree
     nb = common.degree_bits
     rate_bits = cfg.fri_config.rate_bits
@@ -112,11 +118,11 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     wires_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(wire_lde, 0, -1)), perm, axis=-2
     ))  # [B, lde_n, nw(+salt)]
-    wires_tree = MerkleTree(wires_leaves, cap_h)
+    wires_tree = MerkleTree(wires_leaves, cap_h, permute=hperm)
 
     # ---- 3. transcript: digest, PI hash, wires cap -> betas, gammas
     pi_hash = pg.hash_no_pad(gl, [pis[i] for i in range(pis.shape[0])], shape=(B,))
-    ch = Challenger(gl, shape=(B,))
+    ch = Challenger(gl, shape=(B,), permute=hperm)
     for i in range(4):
         ch.observe_element(np.broadcast_to(data.vk.circuit_digest[i], (B,)))
     for h in pi_hash:
@@ -177,7 +183,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     zs_pp_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(zs_pp_lde, 0, -1)), perm, axis=-2
     ))
-    zs_pp_tree = MerkleTree(zs_pp_leaves, cap_h)
+    zs_pp_tree = MerkleTree(zs_pp_leaves, cap_h, permute=hperm)
     _observe_cap_batch(ch, zs_pp_tree.cap)
     alphas = [ch.get_challenge() for _ in range(nc)]
 
@@ -190,7 +196,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
     q_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(q_lde, 0, -1)), perm, axis=-2
     ))
-    q_tree = MerkleTree(q_leaves, cap_h)
+    q_tree = MerkleTree(q_leaves, cap_h, permute=hperm)
     _observe_cap_batch(ch, q_tree.cap)
     zeta = (ch.get_challenge(), ch.get_challenge())
 
@@ -271,7 +277,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int) -> List[Proof]:
         v1 = np.take(values[1], p_m, axis=1)
         # leaf = flattened coset: [e0c0, e0c1, e1c0, e1c1, ...]
         leaves = np.stack([v0, v1], axis=-1).reshape(B, m // arity, 2 * arity)
-        tree = MerkleTree(leaves, min(cap_h, _log2(m // arity)))
+        tree = MerkleTree(leaves, min(cap_h, _log2(m // arity)), permute=hperm)
         commit_trees.append(tree)
         _observe_cap_batch(ch, tree.cap)
         beta = (ch.get_challenge(), ch.get_challenge())
@@ -440,7 +446,7 @@ def _grind_pow(ch: Challenger, pow_bits: int, B: int, chunk: int = 1 << 13):
 
 
 def _clone_challenger_broadcast(ch: Challenger, shape):
-    c = Challenger(gl, shape)
+    c = Challenger(gl, shape, permute=ch.permute_fn)
     c.state = [np.broadcast_to(s[..., None], shape).copy() for s in ch.state]
     c.input_buffer = [np.broadcast_to(x[..., None], shape) for x in ch.input_buffer]
     c.output_buffer = [np.broadcast_to(x[..., None], shape) for x in ch.output_buffer]

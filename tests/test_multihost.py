@@ -1,0 +1,33 @@
+"""Multi-process jax.distributed smoke test: 2 processes x 4 virtual CPU
+devices, one global mesh, per-host data feeding, cross-process psum (the
+wiring a multi-host TPU pod uses; parallel/multihost.py; SURVEY §5
+"distributed communication backend")."""
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_two_process_psum():
+    port = 29519
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "multihost_smoke.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO))
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"MULTIHOST_SMOKE[{pid}]: PASS total=120" in out, out[-2000:]

@@ -57,24 +57,32 @@ def test_ntt_jax_matches_np():
     assert (lde == nt.coset_lde(c, 2, 7)).all()
 
 
-def test_ntt_4step_distributed():
-    import os
-
+def _run_4step(n):
     import jax
 
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
-    if not os.environ.get("SVT_SLOW"):
-        pytest.skip("slow (shard_map compile); set SVT_SLOW=1")
     from stark_verifier_tpu.ops import gl64_jax as gj
     from stark_verifier_tpu.ops import ntt_jax as ntj
     from stark_verifier_tpu.parallel.mesh import make_mesh
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(8, axis="ntt")
-    n = 256
     c = rng.integers(0, gl.P, n, dtype=np.uint64)
-    # 4-step operates on *evaluation* of the coefficient vector: feed coeffs
     expect = nt.ntt(c)
     with mesh:
         got = gj.to_u64(ntj.ntt_4step(gj.from_u64(c), mesh, axis="ntt"))
     assert (got == expect).all()
+
+
+def test_ntt_4step_distributed():
+    """CI-speed all_to_all butterfly check: n=64 over 8 devices keeps the
+    shard_map graph small enough for a sub-minute XLA:CPU compile."""
+    _run_4step(64)
+
+
+def test_ntt_4step_distributed_large():
+    import os
+
+    if not os.environ.get("SVT_SLOW"):
+        pytest.skip("slow (bigger shard_map compile); set SVT_SLOW=1")
+    _run_4step(256)

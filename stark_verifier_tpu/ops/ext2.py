@@ -144,7 +144,8 @@ def _reduce_scan_jax(F, base, terms):
     import jax
     import jax.numpy as jnp
 
-    shape = jnp.broadcast_shapes(*[t[0].shape for t in terms])
+    # carry shape must cover the base too (e.g. [B,1] coeffs vs [B,Q] point)
+    shape = jnp.broadcast_shapes(base[0].shape, *[t[0].shape for t in terms])
     z = F.zeros(shape)
     c0 = F.stack([F.add(t[0], z) for t in terms])
     c1 = F.stack([F.add(t[1], z) for t in terms])

@@ -109,6 +109,63 @@ def aggregate_proofs(proofs: List[Proof], common: CommonData,
     return level_proofs[0], level_data, levels
 
 
+# ------------------------------------------------- semaphore-level driver
+@dataclass
+class AggregatedSignals:
+    """The reference's aggregated Signal shape (recursion.rs:187-247): one
+    proof attesting all children, with the shared root and every child's
+    nullifier/topics re-exposed in its public inputs."""
+
+    nullifiers: np.ndarray  # [N, 4]
+    topics: np.ndarray      # [N, 4]
+    proof: Proof
+    common: CommonData
+    vk: VerifierOnlyData
+
+
+def aggregate_signals(aset, signals, config: CircuitConfig = None) -> AggregatedSignals:
+    """Fold 2^k Semaphore signals into one recursive proof
+    (reference: recursion.rs:187-247 `aggregate`). Child PI layout is
+    root(4) ‖ nullifier(4) ‖ topics(4); each level re-exposes
+    root ‖ children-rest, so the final proof's PIs carry every nullifier
+    and topic in tree order."""
+    data = aset.circuit()
+    proofs = [s.proof for s in signals]
+    final, final_data, _ = aggregate_proofs(
+        proofs, data.common, data.vk, config)
+    return AggregatedSignals(
+        nullifiers=np.stack([s.nullifier for s in signals]),
+        topics=np.stack([s.topics for s in signals]),
+        proof=final,
+        common=final_data.common,
+        vk=final_data.vk,
+    )
+
+
+def verify_aggregated(agg: AggregatedSignals, merkle_root) -> bool:
+    """Native verification of the aggregate + PI consistency with the
+    claimed root/nullifiers/topics."""
+    from ..core.verifier import verify_proof
+    from ..ops import gl64_np as gl
+
+    pis = agg.proof.public_inputs
+    if not (pis[:4] == np.asarray(merkle_root, np.uint64)).all():
+        return False
+    # each level interleaves (rest0, rest1); for N=2^k leaves the leaf
+    # order is preserved left-to-right: rest blocks of 8 (nullifier+topics)
+    rest = pis[4:]
+    n = agg.nullifiers.shape[0]
+    if rest.shape[0] != 8 * n:
+        return False
+    for i in range(n):
+        blk = rest[8 * i : 8 * i + 8]
+        if not (blk[:4] == agg.nullifiers[i]).all():
+            return False
+        if not (blk[4:] == agg.topics[i]).all():
+            return False
+    return bool(verify_proof(gl, agg.common, agg.vk, agg.proof))
+
+
 # ------------------------------------------------------------------ wrapper
 @dataclass
 class WrapperCircuit:

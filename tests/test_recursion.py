@@ -100,6 +100,35 @@ def test_aggregation_rejects_corrupt_child(inner):
         prove_aggregation_level(agg, [proofs[0], bad], data.vk)
 
 
+def test_aggregate_semaphore_signals():
+    """Reference shape e2e (recursion.rs:187-247): 4 Semaphore signals over
+    a 2^3-member set folded into ONE recursive proof whose public inputs
+    re-expose root + every nullifier/topic, natively verified."""
+    import numpy as np
+
+    from stark_verifier_tpu.core.types import CircuitConfig, FriConfig
+    from stark_verifier_tpu.semaphore.access_set import AccessSet
+    from stark_verifier_tpu.semaphore.recursion import (
+        aggregate_signals,
+        verify_aggregated,
+    )
+
+    cfg = CircuitConfig(fri_config=FriConfig(
+        rate_bits=3, cap_height=1, proof_of_work_bits=4, num_query_rounds=2))
+    rng = np.random.default_rng(9)
+    n = 1 << 3
+    sks = rng.integers(0, gl.P, size=(n, 4), dtype=np.uint64)
+    aset = AccessSet(AccessSet.public_key(sks), cfg)
+    idx = np.array([0, 3, 5, 6])
+    topics = rng.integers(0, gl.P, size=(4, 4), dtype=np.uint64)
+    signals = aset.make_signals(sks[idx], topics, idx)
+    agg = aggregate_signals(aset, signals, config=cfg)
+    assert verify_aggregated(agg, aset.merkle_root)
+    # nullifier binding: flipping a recorded nullifier must fail
+    agg.nullifiers[2, 0] ^= 1
+    assert not verify_aggregated(agg, aset.merkle_root)
+
+
 def test_wrapper_circuit(inner):
     proofs, data, root = inner
     wrap = build_wrapper_circuit(data.common)

@@ -146,25 +146,38 @@ def mont_mul(a, b):
     """Montgomery product a*b*R^-1 mod q on [16, ...] limb stacks.
 
     CIOS: 16 iterations of (t += a_i*b; m = -t0/q0 mod 2^16; t += m*q;
-    t >>= 16), all carries shift/add, partial products exact in uint32."""
+    t >>= 16), all carries shift/add, partial products exact in uint32.
+    The iteration runs as a lax.scan over a_i so the trace holds ONE body
+    (~200 ops) instead of 16 unrolled copies — XLA:CPU's pass pipeline is
+    pathologically slow on the unrolled form (hour-scale compiles)."""
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    t = [jnp.zeros(shape, jnp.uint32) for _ in range(N_LIMBS + 1)]
-    qb = [np.uint32(_Q_LIMBS[j]) for j in range(N_LIMBS)]
+    bb = jnp.broadcast_to(b, (N_LIMBS,) + shape)
+    aa = jnp.broadcast_to(a, (N_LIMBS,) + shape)
+    qb = jnp.asarray(_Q_LIMBS).reshape((N_LIMBS,) + (1,) * len(shape))
     qp = np.uint32(QP16)
-    for i in range(N_LIMBS):
-        ai = a[i]
-        u = [ai * b[j] for j in range(N_LIMBS)]  # < 2^32, exact
-        c = [t[j] + (u[j] & _M16) + ((u[j - 1] >> _16) if j else 0)
-             for j in range(N_LIMBS)]
-        c.append(t[N_LIMBS] + (u[N_LIMBS - 1] >> _16))
+    zero_row = jnp.zeros((1,) + shape, jnp.uint32)
+
+    def body(t, ai):
+        # t: [17, ...] running accumulator (16-bit limbs, normalized)
+        u = ai * bb                                   # [16,...] exact
+        u_sh = jnp.concatenate([zero_row, u[:-1] >> _16], axis=0)
+        c = jnp.concatenate(
+            [t[:N_LIMBS] + (u & _M16) + u_sh,
+             t[N_LIMBS:] + (u[N_LIMBS - 1 :] >> _16)], axis=0)
         m = ((c[0] & _M16) * qp) & _M16
-        v = [m * qb[j] for j in range(N_LIMBS)]
-        c = [c[j] + (v[j] & _M16) + ((v[j - 1] >> _16) if j else 0)
-             for j in range(N_LIMBS)] + [c[N_LIMBS] + (v[N_LIMBS - 1] >> _16)]
+        v = m * qb                                    # [16,...] exact
+        v_sh = jnp.concatenate([zero_row, v[:-1] >> _16], axis=0)
+        c = jnp.concatenate(
+            [c[:N_LIMBS] + (v & _M16) + v_sh,
+             c[N_LIMBS:] + (v[N_LIMBS - 1 :] >> _16)], axis=0)
         # carry-normalize and shift one limb down (c[0] ≡ 0 mod 2^16)
-        limbs, top = _carry_pass_n(c)
-        t = limbs[1:] + [top]
-    return _cond_sub_q(jnp.stack(t[:N_LIMBS]))
+        limbs, top = _carry_pass_n([c[j] for j in range(N_LIMBS + 1)])
+        t = jnp.stack(limbs[1:] + [top])
+        return t, None
+
+    t0 = jnp.zeros((N_LIMBS + 1,) + shape, jnp.uint32)
+    t, _ = jax.lax.scan(body, t0, aa)
+    return _cond_sub_q(t[:N_LIMBS])
 
 
 def to_mont(a):

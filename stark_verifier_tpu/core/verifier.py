@@ -736,3 +736,62 @@ def verify_proof(F, common: CommonData, vk, proof: Proof):
     pa = arrays_to_backend(F, proof_to_arrays(proof))
     return verify(F, common, F.from_u64(vk.constants_sigmas_cap),
                   F.from_u64(vk.circuit_digest), pa)
+
+
+# ------------------------------------------------------------ phased verify
+# The same mathematics as `verify`, split at natural protocol boundaries so
+# each jit compiles a ~3x smaller graph (XLA compile time is superlinear in
+# graph size on these op mixes; see NOTES_ROUND1.md). Challenges cross the
+# phase boundary as a plain pytree (dict of lists/tuples of F elements).
+def phase_challenges(F, common: CommonData, circuit_digest, pa: dict):
+    """Phase 1: public-input hash + Fiat–Shamir replay."""
+    pi_hash = pg.hash_no_pad(F, _scalar_list(F, pa["public_inputs"]))
+    ch = get_challenges(F, common, pa, pi_hash, circuit_digest)
+    ch_tree = {
+        "plonk_betas": ch.plonk_betas,
+        "plonk_gammas": ch.plonk_gammas,
+        "plonk_alphas": ch.plonk_alphas,
+        "plonk_zeta": ch.plonk_zeta,
+        "fri_alpha": ch.fri_alpha,
+        "fri_betas": ch.fri_betas,
+        "fri_pow_response": ch.fri_pow_response,
+        "fri_query_indices": ch.fri_query_indices,
+    }
+    return pi_hash, ch_tree
+
+
+def _ch_from_tree(t) -> "ProofChallenges":
+    ch = ProofChallenges()
+    for k, v in t.items():
+        setattr(ch, k, v)
+    return ch
+
+
+def phase_vanishing(F, common: CommonData, pa: dict, pi_hash, ch_tree):
+    """Phase 2: vanishing polynomial at zeta + quotient recombination."""
+    R = ExtRing(F)
+    ch = _ch_from_tree(ch_tree)
+    vanishing, zeta_pow_deg = eval_vanishing_poly(F, common, ch, pa, pi_hash)
+    ok = None
+    z_h_zeta = R.sub(zeta_pow_deg, R.one())
+    quotient_list = _ext_list(F, pa["open_quotient_polys"])
+    qdf = common.quotient_degree_factor
+    for i in range(common.config.num_challenges):
+        chunk = quotient_list[i * qdf : (i + 1) * qdf]
+        recombined = R.reduce_with_powers(zeta_pow_deg, chunk)
+        computed = R.mul(z_h_zeta, recombined)
+        eq = ext2.equal(F, vanishing[i], computed)
+        ok = eq if ok is None else (ok & eq)
+    return _all(ok)
+
+
+def phase_fri(F, common: CommonData, vk_cap, pa: dict, ch_tree, ok):
+    """Phase 3: DEEP reduced openings + full FRI verification."""
+    ch = _ch_from_tree(ch_tree)
+    alpha = ch.fri_alpha
+    batches = _opening_batches(F, pa)
+    reduced_openings = [ext2.reduce_with_powers(F, alpha, b) for b in batches]
+    g_zeta_factor = F.const(_g_pow(ORDER >> common.degree_bits))
+    zeta_next = ext2.scalar_mul(F, ch.plonk_zeta, g_zeta_factor)
+    return verify_fri(F, common, ch, pa, vk_cap,
+                      reduced_openings, ch.plonk_zeta, zeta_next, ok)

@@ -133,6 +133,33 @@ def make_verifier_fn(common, vk):
     return fn, to_gf
 
 
+def make_verifier_fn_phased(common, vk):
+    """Three-phase verifier (challenges / vanishing / FRI), each its own
+    jit(vmap) — caps per-compile graph size (~3x smaller each), for
+    compile-latency-bound environments (XLA:CPU dryruns, cold chips).
+    Returns (fn, to_gf); fn runs the three compiled programs in sequence."""
+    import jax
+
+    vk_cap = gj.from_u64(vk.constants_sigmas_cap)
+    digest = gj.from_u64(vk.circuit_digest)
+
+    f1 = jax.jit(jax.vmap(lambda pa: V.phase_challenges(gj, common, digest, pa)))
+    f2 = jax.jit(jax.vmap(
+        lambda pa, pi, ch: V.phase_vanishing(gj, common, pa, pi, ch)))
+    f3 = jax.jit(jax.vmap(
+        lambda pa, ch, ok: V.phase_fri(gj, common, vk_cap, pa, ch, ok)))
+
+    def fn(pa_gf):
+        pi_hash, ch = f1(pa_gf)
+        ok = f2(pa_gf, pi_hash, ch)
+        return f3(pa_gf, ch, ok)
+
+    def to_gf(batched):
+        return {k: gj.from_u64(v) for k, v in batched.items()}
+
+    return fn, to_gf
+
+
 def make_verifier_fn_batched(common, vk):
     """Batch-in-lanes verifier: the proof batch rides as the leading axis of
     every element array (core/verifier_batched.py), keeping VPU lanes full
@@ -182,6 +209,10 @@ def compiled_verifier(common, vk, pa_gf, cache_path=None, mode="vmap"):
     """AOT-compile (or load) the batched verifier for these array shapes."""
     if mode == "batched":
         fn, _ = make_verifier_fn_batched(common, vk)
+    elif mode == "phased":
+        # already three separate jits; no single AOT executable to cache
+        fn, _ = make_verifier_fn_phased(common, vk)
+        return fn
     else:
         fn, _ = make_verifier_fn(common, vk)
     if cache_path and Path(cache_path).exists():

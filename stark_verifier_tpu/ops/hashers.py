@@ -22,15 +22,16 @@ POSEIDON = "poseidon"
 BN254 = "bn254"
 
 _jit_bridge = None
+# two pad tiers: tiny states (challenger, small batches) avoid 1024-lane
+# waste; bulk Merkle hashing amortizes in 1024-wide chunks. Exactly two
+# compiled shapes per process (XLA:CPU compiles of the Montgomery-limb
+# graph cost ~50 s each).
+_BRIDGE_CHUNK_SMALL = 32
 _BRIDGE_CHUNK = 1024
 
 
 def _bridge_permute_np(F, state):
-    """Bridge permutation for the numpy backend: [12, ...] uint64 in/out.
-
-    Lanes are flattened and padded to fixed 1024-wide chunks so the jitted
-    kernel compiles exactly once per process (XLA:CPU compiles of the
-    Montgomery-limb graph cost minutes per shape)."""
+    """Bridge permutation for the numpy backend: [12, ...] uint64 in/out."""
     global _jit_bridge
     import jax
 
@@ -43,13 +44,14 @@ def _bridge_permute_np(F, state):
     shape = state.shape[1:]
     flat = state.reshape(12, -1)
     n = flat.shape[1]
+    chunk = _BRIDGE_CHUNK_SMALL if n <= _BRIDGE_CHUNK_SMALL else _BRIDGE_CHUNK
     chunks = []
-    for start in range(0, n, _BRIDGE_CHUNK):
-        piece = flat[:, start : start + _BRIDGE_CHUNK]
+    for start in range(0, n, chunk):
+        piece = flat[:, start : start + chunk]
         w = piece.shape[1]
-        if w < _BRIDGE_CHUNK:
+        if w < chunk:
             piece = np.concatenate(
-                [piece, np.zeros((12, _BRIDGE_CHUNK - w), np.uint64)], axis=1)
+                [piece, np.zeros((12, chunk - w), np.uint64)], axis=1)
         out = gj.to_u64(_jit_bridge(gj.from_u64(piece)))
         chunks.append(out[:, :w])
     return np.concatenate(chunks, axis=1).reshape((12,) + shape)

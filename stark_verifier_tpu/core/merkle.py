@@ -99,6 +99,27 @@ class MerkleTree:
             self.leaves, idx[..., None].astype(np.int64), axis=-2
         )
 
+    # ------------------------------------------------------------- caching
+    def save(self, path):
+        """Serialize leaves + all hash levels (skip the rebuild cost)."""
+        np.savez_compressed(
+            path, leaves=self.leaves, cap_height=self.cap_height,
+            **{f"level_{i}": lv for i, lv in enumerate(self.levels)})
+
+    @staticmethod
+    def load(path) -> "MerkleTree":
+        z = np.load(path)
+        t = MerkleTree.__new__(MerkleTree)
+        t.leaves = z["leaves"]
+        t.cap_height = int(z["cap_height"])
+        n = t.leaves.shape[-2]
+        t.batch_shape = t.leaves.shape[:-2]
+        t.depth = log2_strict(n) - t.cap_height
+        t.permute = pg.permute
+        t.levels = [z[f"level_{i}"] for i in range(t.depth + 1)]
+        t.cap = t.levels[-1]
+        return t
+
 
 def verify_merkle_proof_to_cap(F, leaf_data, index_bits, siblings, cap,
                                cap_index, permute=None):

@@ -50,8 +50,25 @@ def build_semaphore_batch(n_members_bits=8, batch=8, config=None,
     rng = np.random.default_rng(seed)
     n = 1 << n_members_bits
     sks = rng.integers(0, gl.P, size=(n, 4), dtype=np.uint64)
-    pks = AccessSet.public_key(sks)
-    aset = AccessSet(pks, config or small_config(), min_degree=min_degree)
+    # big member sets: cache the hashed keys + Merkle tree (2^20 keys cost
+    # ~25 min to hash+tree on host)
+    tree_cache = (FIXTURE_DIR / f"aset_tree_{n_members_bits}_{seed}.npz"
+                  if n_members_bits >= 16 else None)
+    if tree_cache is not None and tree_cache.exists():
+        from ..core.merkle import MerkleTree
+
+        aset = AccessSet.__new__(AccessSet)
+        aset.tree = MerkleTree.load(tree_cache)
+        aset.tree_height = n_members_bits
+        aset.config = config or small_config()
+        aset.min_degree = min_degree
+        aset._circuit = None
+    else:
+        pks = AccessSet.public_key(sks)
+        aset = AccessSet(pks, config or small_config(), min_degree=min_degree)
+        if tree_cache is not None:
+            FIXTURE_DIR.mkdir(exist_ok=True)
+            aset.tree.save(tree_cache)
     idx = rng.integers(0, n, size=batch)
     topics = rng.integers(0, gl.P, size=(batch, 4), dtype=np.uint64)
     signals = aset.make_signals(sks[idx], topics, idx)

@@ -44,6 +44,12 @@ class CircuitConfig:
     # bn245_poseidon/plonky2_config.rs:53-104). InnerHasher (public-input
     # hashing, in-circuit gadget hashes) is always Goldilocks Poseidon.
     hasher: str = "poseidon"
+    # hash the public inputs through an in-circuit PoseidonGate (True) or
+    # fill the PublicInputGate wires from a native host hash (False). The
+    # verifier checks the gate wires against its own native hash either
+    # way (reference: gates/public_input.rs:22-40); False keeps PoseidonGate
+    # out of small circuits (the multichip-dryrun workload).
+    pi_hash_in_circuit: bool = True
 
 
 @dataclass

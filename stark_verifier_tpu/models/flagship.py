@@ -81,19 +81,26 @@ def build_semaphore_batch(n_members_bits=8, batch=8, config=None,
 
 
 def dryrun_config() -> CircuitConfig:
-    """Minimal config for the multichip dryrun: 2 FRI queries, cap 0.
+    """Minimal config for the multichip dryrun: 2 FRI queries, cap 0, and —
+    the big one — 8 wires instead of the reference preset's 135/80
+    (`pi_hash_in_circuit=False` keeps PoseidonGate out of the gate set, so
+    no 118-constraint vanishing term and no 135 wire openings).
 
-    The dryrun validates mesh sharding + collectives on XLA:CPU, where
-    compile time scales with graph size — so the circuit (see
-    build_dryrun_batch) avoids PoseidonGate, whose vanishing-poly evaluation
-    dominates the semaphore verifier's trace."""
+    The dryrun validates mesh sharding + collectives on XLA:CPU, where both
+    compile time (superlinear) and execution time (per-op dispatch on tiny
+    tensors) scale with graph size: the 135-wire dryrun graph compiled in
+    2.4 h and did not finish executing in 1.8 h on an 8-device virtual
+    mesh (4 cores), while the protocol being validated — sharded verify,
+    psum, digest chain — is wire-count-independent."""
     return CircuitConfig(
+        num_wires=8, num_routed_wires=8,
         fri_config=FriConfig(rate_bits=3, cap_height=0, proof_of_work_bits=4,
-                             num_query_rounds=2)
+                             num_query_rounds=2),
+        pi_hash_in_circuit=False,
     )
 
 
-def build_dryrun_batch(batch=16, cache_tag="dryrun2q"):
+def build_dryrun_batch(batch=16, cache_tag="dryrun3w8"):
     """A tiny arithmetic circuit (ArithmeticGate/ConstantGate/PublicInput/
     Noop — no PoseidonGate) proved for `batch` lanes: the multichip-dryrun
     workload. Exercises the identical sharded verify + psum + digest-chain

@@ -221,16 +221,35 @@ class CircuitBuilder:
     # --------------------------------------------------------------- build
     def build(self) -> "CircuitData":
         cfg = self.config
-        # in-circuit hash of the public inputs, wired into a PublicInputGate
-        pi_hash_targets = self.hash_n_to_hash_no_pad(list(self.public_inputs))
+        # PublicInputGate wires 0..3 must equal H(public_inputs); the
+        # verifier computes that hash natively and feeds it into the
+        # vanishing polynomial (core/verifier, reference:
+        # gates/public_input.rs:22-40), so the hash itself need not be
+        # computed in-circuit. pi_hash_in_circuit=True additionally routes
+        # it through an in-circuit PoseidonGate (hash preimage becomes part
+        # of the copy-constraint graph); False fills the gate wires from a
+        # native host hash — it keeps PoseidonGate (135 wires, the heaviest
+        # vanishing-poly term) out of small circuits like the multichip
+        # dryrun workload.
         pi_gate = G.PublicInputGate()
-        pi_row = self.add_gate(pi_gate, [])
-        for i in range(4):
-            self.connect(pi_hash_targets[i], ("w", pi_row, i))
+        if getattr(cfg, "pi_hash_in_circuit", True):
+            pi_hash_targets = self.hash_n_to_hash_no_pad(list(self.public_inputs))
+            pi_row = self.add_gate(pi_gate, [])
+            for i in range(4):
+                self.connect(pi_hash_targets[i], ("w", pi_row, i))
 
-        def gen_pi(s, pi_row=pi_row, targets=tuple(pi_hash_targets)):
-            for i, t in enumerate(targets):
-                s.set(("w", pi_row, i), s.get(t))
+            def gen_pi(s, pi_row=pi_row, targets=tuple(pi_hash_targets)):
+                for i, t in enumerate(targets):
+                    s.set(("w", pi_row, i), s.get(t))
+
+        else:
+            pi_row = self.add_gate(pi_gate, [])
+
+            def gen_pi(s, pi_row=pi_row, targets=tuple(self.public_inputs)):
+                vals = [s.get(t) for t in targets]
+                h = pg.hash_no_pad(gl, vals, shape=vals[0].shape if vals else (s.batch,))
+                for i in range(4):
+                    s.set(("w", pi_row, i), h[i])
 
         self.generators.append(gen_pi)
 
@@ -416,7 +435,8 @@ class CircuitData:
     subgroup: np.ndarray                 # [n]
     sigma_vals: np.ndarray               # [nr, n]
 
-    def generate_witness(self, inputs: Dict[Target, np.ndarray], batch: int):
+    def generate_witness(self, inputs: Dict[Target, np.ndarray], batch: int,
+                         check: bool = True):
         """Run the recorded generators; returns wire matrix [num_wires, n, B]
         and the public-input values [num_pis, B]."""
         store = WitnessStore(batch)
@@ -424,6 +444,23 @@ class CircuitData:
             store.set(t, v)
         for gen in self.builder.generators:
             gen(store)
+        # Copy-constraint conflict check — plonky2's PartitionWitness panics
+        # when two targets in one copy partition receive different values;
+        # this is what makes proving an in-circuit verification of an
+        # INVALID child proof fail at prove time (the quotient-tail check
+        # below can't catch it: with qdf == 2^rate_bits the tail is empty).
+        # check=False deliberately emits the unsound proof instead (used by
+        # negative tests asserting the VERIFIER also rejects it).
+        if check:
+            vals = store.vals
+            for a, b in self.builder.copy_constraints:
+                va = vals.get(a)
+                vb = vals.get(b)
+                if va is not None and vb is not None and not np.array_equal(va, vb):
+                    raise AssertionError(
+                        f"copy constraint violated in witness: {a} != {b} "
+                        "(unsatisfiable circuit inputs — e.g. an invalid child "
+                        "proof fed to an in-circuit verifier)")
         n = len(self.builder.gate_rows)
         W = np.zeros((self.common.config.num_wires, n, batch), dtype=np.uint64)
         for t, v in store.vals.items():

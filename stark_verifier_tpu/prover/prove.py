@@ -74,7 +74,7 @@ def _vlog(msg):
 
 
 def prove_batch(data: CircuitData, inputs: Dict, batch: int,
-                hasher: str = None) -> List[Proof]:
+                hasher: str = None, check_witness: bool = True) -> List[Proof]:
     common = data.common
     cfg = common.config
     # transcript/Merkle hash config (reference: plonky2_config.rs:53-104);
@@ -95,7 +95,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int,
 
     # ---- 1. witness
     _vlog("witness")
-    W, pis = data.generate_witness(inputs, batch)  # [nw, n, B], [npi, B]
+    W, pis = data.generate_witness(inputs, batch, check=check_witness)  # [nw, n, B], [npi, B]
     W = np.ascontiguousarray(np.swapaxes(W, 1, 2))  # [nw, B, n]
 
     # ---- 2. wires commitment

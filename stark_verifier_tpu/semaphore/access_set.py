@@ -117,8 +117,14 @@ class AccessSet:
 
     # --------------------------------------------------------------- prove
     def make_signals(self, private_keys: np.ndarray, topics: np.ndarray,
-                     indices: np.ndarray) -> List[Signal]:
-        """Prove a batch: private_keys [B,4], topics [B,4], indices [B]."""
+                     indices: np.ndarray, check_witness: bool = True) -> List[Signal]:
+        """Prove a batch: private_keys [B,4], topics [B,4], indices [B].
+
+        check_witness=True (default) raises at prove time if the witness
+        violates a copy constraint — e.g. a non-member key, whose Merkle
+        path can't hash to the root (plonky2's PartitionWitness panics the
+        same way); False emits the unsound proof for verifier-side
+        negative tests."""
         data = self.circuit()
         t = self._targets
         B = private_keys.shape[0]
@@ -134,7 +140,7 @@ class AccessSet:
         for lvl in range(self.tree_height):
             for i in range(4):
                 inputs[t["siblings"][lvl][i]] = sibs[:, lvl, i]
-        proofs = prove_batch(data, inputs, B)
+        proofs = prove_batch(data, inputs, B, check_witness=check_witness)
         return [
             Signal(topics=topics[b], nullifier=nullifiers[b], proof=proofs[b])
             for b in range(B)

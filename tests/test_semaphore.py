@@ -53,14 +53,17 @@ def test_wrong_nullifier_rejected(access_set):
 
 
 def test_non_member_cannot_sign(access_set):
-    """A key outside the set breaks the merkle copy constraints: the
-    permutation argument is violated, so the produced proof must be
-    REJECTED by verification (the prover, like plonky2's, will happily
-    emit an unsound proof — soundness lives in the verifier)."""
+    """A key outside the set breaks the merkle copy constraints. Default
+    proving raises at witness time (plonky2 PartitionWitness parity:
+    conflicting values in one copy partition); with check_witness=False
+    the prover emits the unsound proof and the VERIFIER must reject it."""
     rng = np.random.default_rng(9)
     bad_sk = rng.integers(0, gl.P, size=(1, 4), dtype=np.uint64)
     topics = rng.integers(0, gl.P, size=(1, 4), dtype=np.uint64)
-    signals = access_set.make_signals(bad_sk, topics, np.array([5]))
+    with pytest.raises(AssertionError):
+        access_set.make_signals(bad_sk, topics, np.array([5]))
+    signals = access_set.make_signals(bad_sk, topics, np.array([5]),
+                                      check_witness=False)
     assert access_set.verify_signals_np(signals) == [False]
 
 

@@ -22,10 +22,13 @@ from stark_verifier_tpu.semaphore.access_set import semaphore_config
 
 def main():
     batch = int(os.environ.get("SVT_ZK20_BATCH", "1024"))
+    # partial fixtures (fewer distinct proofs) get a size-suffixed tag so
+    # bench.py's auto preset doesn't pick up a low-occupancy batch
+    tag = "zk20" if batch >= 1024 else f"zk20b{batch}"
     t0 = time.time()
     proofs, common, vk = FS.build_semaphore_batch(
         n_members_bits=20, batch=batch, config=semaphore_config(),
-        cache_tag="zk20")
+        cache_tag=tag)
     print(f"fixture ready: {len(proofs)} proofs, deg 2^{common.degree_bits}, "
           f"hiding={common.fri_params.hiding}, in {time.time()-t0:.0f}s",
           flush=True)

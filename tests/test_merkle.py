@@ -60,3 +60,18 @@ def test_batched_queries_jax():
         gj, leaf_data, index_bits, siblings, gj.from_u64(tree.cap), cap_index
     )
     assert np.asarray(ok).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    """MerkleTree.save/load (the access-set tree cache) preserves leaves,
+    levels, cap, and proof behavior."""
+    leaves = rand((64, 4))
+    t = MerkleTree(leaves, cap_height=2)
+    p = tmp_path / "tree.npz"
+    t.save(p)
+    t2 = MerkleTree.load(p)
+    assert (t2.leaves == t.leaves).all()
+    assert t2.cap_height == t.cap_height and t2.depth == t.depth
+    assert (t2.cap == t.cap).all()
+    assert (t2.prove(13) == t.prove(13)).all()
+    _verify(gl, lambda x: x, t2, 13, leaves[13])

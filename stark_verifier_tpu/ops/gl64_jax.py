@@ -34,6 +34,7 @@ _0 = np.uint32(0)
 _1 = np.uint32(1)
 
 IS_JAX = True
+PALLAS_OK = True  # the Pallas Poseidon kernel consumes these limb planes
 
 
 class GF(NamedTuple):

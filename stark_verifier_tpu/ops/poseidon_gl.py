@@ -45,7 +45,7 @@ def permute(F, state):
     leading dimension 12 (use F.stack / F.unstack to build)."""
     assert state.shape[0] == WIDTH
     if hasattr(F, "permute12"):
-        if _USE_PALLAS:
+        if _USE_PALLAS and getattr(F, "PALLAS_OK", False):
             # fused Pallas kernel (batch in the lane dim); falls back to the
             # XLA planes formulation for small/ragged batches
             from .pallas.poseidon_kernel import permute_gf

@@ -29,7 +29,7 @@ from ..ops import gl64_jax as gj
 from ..ops import poseidon_gl as pg
 
 
-def digest_chain(pis, ok):
+def digest_chain(pis, ok, F=gj):
     """Sequential Poseidon fold of (public_inputs ‖ accept ‖ acc) over the
     local batch — the aggregation-tree analogue, one leaf per proof.
     pis: GF [b, npi]; ok: bool [b]. Returns GF [4]."""
@@ -38,19 +38,19 @@ def digest_chain(pis, ok):
     def body(acc, row):
         pi_row, okb = row
         inputs = (
-            [gj.index(pi_row, i) for i in range(npi)]
-            + [gj.select(okb, gj.ones(()), gj.zeros(()))]
-            + [gj.index(acc, i) for i in range(4)]
+            [F.index(pi_row, i) for i in range(npi)]
+            + [F.select(okb, F.ones(()), F.zeros(()))]
+            + [F.index(acc, i) for i in range(4)]
         )
-        out = pg.hash_no_pad(gj, inputs)
-        return gj.stack(out), None
+        out = pg.hash_no_pad(F, inputs)
+        return F.stack(out), None
 
-    acc, _ = jax.lax.scan(body, gj.zeros((4,)), (pis, ok))
+    acc, _ = jax.lax.scan(body, F.zeros((4,)), (pis, ok))
     return acc
 
 
 def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
-                          axis: str = "data"):
+                          axis: str = "data", F=gj):
     """Data-parallel verification the jax-idiomatic way: the proof batch is
     laid out with `NamedSharding(mesh, P(axis))` on its leading axis and the
     plain `jit(vmap(verify))` program is partitioned by XLA's SPMD pass —
@@ -73,12 +73,12 @@ def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
     """
     from jax.sharding import NamedSharding
 
-    vk_cap = gj.from_u64(vk.constants_sigmas_cap)
-    digest = gj.from_u64(vk.circuit_digest)
+    vk_cap = F.from_u64(vk.constants_sigmas_cap)
+    digest = F.from_u64(vk.circuit_digest)
     sharding = NamedSharding(mesh, P(axis))
 
     def verify_one(pa):
-        return V.verify(gj, common, vk_cap, digest, pa)
+        return V.verify(F, common, vk_cap, digest, pa)
 
     verify_fn = jax.vmap(verify_one)
 
@@ -92,7 +92,7 @@ def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
     @jax.jit
     @wrap
     def agg_fn(pis, ok):
-        d = digest_chain(pis, ok)
+        d = digest_chain(pis, ok, F)
         count = jax.lax.psum(jnp.sum(ok.astype(jnp.uint32)), axis)
         return gj.gmap(lambda a: a[None], d), count
 

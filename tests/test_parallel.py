@@ -72,12 +72,21 @@ def test_sharded_aggregation_fast():
 
 
 def test_dryrun_multichip_8():
-    if not os.environ.get("SVT_SLOW"):
-        pytest.skip("slow (full verifier compile); set SVT_SLOW=1")
+    """The driver-checked multichip dryrun: 8-device CPU mesh, sharded SPMD
+    verify + psum/digest collectives. Runs in ~40 s with the u64 CPU field
+    backend (ops/gl64_cpu); in a subprocess because gl64_cpu enables
+    jax_enable_x64 globally, which must not leak into other tests."""
+    import subprocess
     import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    import __graft_entry__
-
-    __graft_entry__.dryrun_multichip(8)
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as E; E.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "verified 16 proofs" in proc.stdout

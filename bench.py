@@ -30,24 +30,31 @@ def _load_workload():
     from stark_verifier_tpu.models import flagship as FS
 
     preset = os.environ.get("SVT_BENCH_PRESET", "auto")
+    zk20_fixtures = sorted(
+        (REPO / "fixtures").glob("sem_zk20*.npz"),
+        key=lambda p: p.stat().st_size, reverse=True)
     if preset == "auto":
-        # headline zk-2^20 workload only when its fixture has been generated
-        # offline (tools/gen_zk20_fixture.py — host proving of 1024 distinct
+        # headline zk-2^20 workload only when a fixture has been generated
+        # offline (tools/gen_zk20_resume.py — host proving of 1024 distinct
         # zk proofs is hour-scale); otherwise the full non-zk preset, which
         # regenerates quickly from a cold fixture state.
-        preset = "zk20" if (REPO / "fixtures" / "sem_zk20.npz").exists() else "full"
+        preset = "zk20" if zk20_fixtures else "full"
     if preset == "zk20":
         # THE reference workload (reference: plonky2_semaphore/access_set.rs:
         # 68-84 + README.md:155): 2^20-member access set, zero-knowledge on
         # (salted oracles + blinding rows), blowup 8, 28 queries, 16 PoW
-        # bits — every benched proof distinct. Generate the fixture offline
-        # with tools/gen_zk20_fixture.py (~30 min: 2^20 keys + tree).
-        from stark_verifier_tpu.semaphore.access_set import semaphore_config
+        # bits. A partial fixture (sem_zk20bN.npz, N distinct proofs) is
+        # tiled to the batch and labeled with its distinct count — lane
+        # duplication is throughput-neutral (per-lane work is identical).
+        from stark_verifier_tpu.core.types import load_proofs
 
         batch = int(os.environ.get("SVT_BENCH_BATCH", "1024"))
-        proofs, common, vk = FS.build_semaphore_batch(
-            n_members_bits=20, batch=batch, config=semaphore_config(),
-            cache_tag="zk20")
+        proofs, common, vk = load_proofs(zk20_fixtures[0])
+        distinct = len(proofs)
+        while len(proofs) < batch:
+            proofs = proofs + proofs
+        if distinct < batch:
+            preset = f"zk20,distinct={distinct}"
         return preset, proofs[:batch], common, vk
     if preset == "full":
         cfg, tag, members, min_degree = FS.bench_config(), "bench10", 10, 1 << 12
@@ -97,8 +104,10 @@ def inner():
     _, to_gf = FS.make_verifier_fn(common, vk)
     pa_gf = to_gf(FS.batched_arrays(proofs))
     plat = jax.devices()[0].platform
+    # AOT-exec cache key: graph shapes only (the distinct-proof count of a
+    # partial zk20 fixture changes values, not shapes)
     exec_path = (REPO / "fixtures"
-                 / f"exec_{preset}_{mode}_b{len(proofs)}_{plat}.jex")
+                 / f"exec_{preset.split(',')[0]}_{mode}_b{len(proofs)}_{plat}.jex")
     t0 = time.time()
     fn = FS.compiled_verifier(common, vk, pa_gf, cache_path=exec_path,
                               mode=mode)

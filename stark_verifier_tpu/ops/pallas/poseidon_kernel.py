@@ -122,6 +122,50 @@ def _add_gl(alo, ahi, blo, bhi):
 
 _CIRC = np.asarray(MDS_MATRIX_CIRC, np.uint32)
 _DIAG0 = np.uint32(MDS_MATRIX_DIAG[0])
+_MDS_F32 = _MDS.astype(np.float32)
+_255 = np.uint32(0xFF)
+_8 = np.uint32(8)
+_24 = np.uint32(24)
+
+
+def _mds_mxu(state_lo, state_hi, mds_f32):
+    """MDS multiply on [12, B] planes via ONE f32 MXU matmul.
+
+    The 12x12 MDS entries are <= 49 (6 bits); splitting the state into
+    eight 8-bit limb planes keeps every dot-product term exact in f32:
+    6 + 8 bits per product, x12 terms -> < 2^18 << 2^24 mantissa. All 8
+    limb planes ride one [12,12] @ [12, 8B] matmul (the limbs don't mix),
+    then recombine on the VPU with the same 16-bit-column carry walk as
+    the pure-VPU path."""
+    limbs = [
+        (state_lo & _255).astype(jnp.float32),
+        ((state_lo >> _8) & _255).astype(jnp.float32),
+        ((state_lo >> _16) & _255).astype(jnp.float32),
+        (state_lo >> _24).astype(jnp.float32),
+        (state_hi & _255).astype(jnp.float32),
+        ((state_hi >> _8) & _255).astype(jnp.float32),
+        ((state_hi >> _16) & _255).astype(jnp.float32),
+        (state_hi >> _24).astype(jnp.float32),
+    ]
+    x = jnp.concatenate(limbs, axis=1)  # [12, 8B]
+    y = jax.lax.dot_general(
+        mds_f32, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    B = state_lo.shape[1]
+    ys = [y[:, k * B:(k + 1) * B].astype(jnp.uint32) for k in range(8)]
+    # pair 8-bit-spaced columns into the 16-bit-spaced c0..c3 (< 2^26) the
+    # VPU recombiner expects
+    c0 = ys[0] + (ys[1] << _8)
+    c1 = ys[2] + (ys[3] << _8)
+    c2 = ys[4] + (ys[5] << _8)
+    c3 = ys[6] + (ys[7] << _8)
+    t01 = (c0 >> _16) + c1
+    x0 = (c0 & _LO16) + ((t01 & _LO16) << _16)
+    t2 = (t01 >> _16) + c2
+    t3 = (t2 >> _16) + c3
+    x1 = (t2 & _LO16) + ((t3 & _LO16) << _16)
+    x2 = t3 >> _16
+    return _reduce128(x0, x1, x2, jnp.zeros_like(x2))
 
 
 def _mds_limb(state_lo, state_hi, roll=jnp.roll):
@@ -160,29 +204,32 @@ def _sbox7(lo, hi):
     return _mul_gl(l3, h3, l4, h4)
 
 
-def _permute_planes(lo, hi, rc_lo=None, rc_hi=None, roll=jnp.roll):
+def _permute_planes(lo, hi, rc_lo=None, rc_hi=None, roll=jnp.roll,
+                    mds=None):
     """The full permutation on [12, B] u32 planes (pure jnp; usable both
     inside the Pallas kernel and as an XLA fallback)."""
     if rc_lo is None:
         rc_lo = jnp.asarray(_RC_LO)
         rc_hi = jnp.asarray(_RC_HI)
+    if mds is None:
+        mds = lambda l, h: _mds_limb(l, h, roll)
     r = 0
     for _ in range(HALF_N_FULL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         lo, hi = _sbox7(lo, hi)
-        lo, hi = _mds_limb(lo, hi, roll)
+        lo, hi = mds(lo, hi)
         r += 1
     for _ in range(N_PARTIAL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         s0l, s0h = _sbox7(lo[:1], hi[:1])
         lo = jnp.concatenate([s0l, lo[1:]], axis=0)
         hi = jnp.concatenate([s0h, hi[1:]], axis=0)
-        lo, hi = _mds_limb(lo, hi, roll)
+        lo, hi = mds(lo, hi)
         r += 1
     for _ in range(HALF_N_FULL_ROUNDS):
         lo, hi = _add_gl(lo, hi, rc_lo[r][:, None], rc_hi[r][:, None])
         lo, hi = _sbox7(lo, hi)
-        lo, hi = _mds_limb(lo, hi, roll)
+        lo, hi = mds(lo, hi)
         r += 1
     return lo, hi
 
@@ -200,14 +247,36 @@ def _kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
     out_hi_ref[...] = hi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_b"))
-def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024):
+def _kernel_mxu(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, mds_ref,
+                out_lo_ref, out_hi_ref):
+    mds = lambda l, h: _mds_mxu(l, h, mds_ref[...])
+    lo, hi = _permute_planes(
+        lo_ref[...], hi_ref[...], rc_lo_ref[...], rc_hi_ref[...], mds=mds
+    )
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+def _use_mxu() -> bool:
+    # default off until the MXU variant is (re)validated on the real chip —
+    # a cold driver bench must never gamble on an untested kernel compile
+    import os
+
+    return os.environ.get("SVT_PALLAS_MXU", "0") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b", "mxu"))
+def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024, mxu=None):
     """Batched permutation: lo/hi u32[12, B] -> (u32[12, B], u32[12, B]).
 
-    One fused Pallas kernel per `block_b` batch tile.
+    One fused Pallas kernel per `block_b` batch tile. mxu=True routes the
+    per-round MDS multiply through the MXU (8-bit-limb f32 matmul, exact);
+    default reads SVT_PALLAS_MXU (on unless set to 0).
     """
     from jax.experimental import pallas as pl
 
+    if mxu is None:
+        mxu = _use_mxu()
     B = lo.shape[1]
     if B < 128:
         # small batches: plain XLA path (kernel wants full lanes)
@@ -222,6 +291,20 @@ def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024):
         jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
         jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
     ]
+    if mxu:
+        return tuple(
+            pl.pallas_call(
+                _kernel_mxu,
+                grid=grid,
+                in_specs=[spec, spec, const_spec((30, WIDTH)),
+                          const_spec((30, WIDTH)),
+                          const_spec((WIDTH, WIDTH))],
+                out_specs=[spec, spec],
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lo, hi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI),
+              jnp.asarray(_MDS_F32))
+        )
     return tuple(
         pl.pallas_call(
             _kernel,

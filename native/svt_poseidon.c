@@ -1,0 +1,155 @@
+/* Native host runtime for the framework's hash plane: Goldilocks Poseidon
+ * permutation, sponge hashing, Merkle-level compression, and Fiat-Shamir
+ * proof-of-work grinding, as a C shared library consumed via ctypes
+ * (stark_verifier_tpu/native.py).
+ *
+ * This is the TPU framework's equivalent of the host-side hashing the
+ * reference gets from its native Rust plonky2 dependency (field/Poseidon/
+ * MerkleTree; reference Cargo.toml:11): the TPU owns the batched verify
+ * path, while fixture generation (proving) and golden verification run on
+ * the host, where python-level dispatch dominates. Semantics are bit-exact
+ * with ops/gl64_np.py + ops/poseidon_gl.py (canonical representatives
+ * 0 <= r < p after every op; overwrite-mode rate-8 sponge; reference:
+ * chip/hasher_chip.rs:61-171, chip/merkle_proof_chip.rs:58-70).
+ *
+ * Build: gcc -O3 -march=native -fopenmp -shared -fPIC (see native.py).
+ */
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+#include "poseidon_constants.h"
+
+#define GL_P 0xFFFFFFFF00000001ULL
+#define GL_EPS 0xFFFFFFFFULL
+#define WIDTH 12
+#define RATE 8
+#define N_ROUNDS 30
+#define HALF_FULL 4
+#define N_PARTIAL 22
+
+static inline uint64_t gl_add(uint64_t a, uint64_t b) {
+    uint64_t s = a + b; /* a, b canonical: at most one EPS correction */
+    if (s < a) s += GL_EPS;
+    if (s >= GL_P) s -= GL_P;
+    return s;
+}
+
+static inline uint64_t gl_reduce128(__uint128_t w) {
+    uint64_t lo = (uint64_t)w;
+    uint64_t hi = (uint64_t)(w >> 64);
+    uint64_t x2 = hi & 0xFFFFFFFFULL; /* bits 64..95:  2^64 ==  2^32 - 1 */
+    uint64_t x3 = hi >> 32;           /* bits 96..127: 2^96 == -1 (mod p) */
+    uint64_t t0 = lo - x3;
+    if (lo < x3) t0 -= GL_EPS;
+    uint64_t t1 = (x2 << 32) - x2;
+    uint64_t t2 = t0 + t1;
+    if (t2 < t1) t2 += GL_EPS;
+    if (t2 >= GL_P) t2 -= GL_P;
+    return t2;
+}
+
+static inline uint64_t gl_mul(uint64_t a, uint64_t b) {
+    return gl_reduce128((__uint128_t)a * b);
+}
+
+static inline uint64_t gl_sbox7(uint64_t x) {
+    uint64_t x2 = gl_mul(x, x);
+    uint64_t x3 = gl_mul(x2, x);
+    uint64_t x4 = gl_mul(x2, x2);
+    return gl_mul(x3, x4);
+}
+
+static inline void gl_mds12(uint64_t *s) {
+    uint64_t t[WIDTH];
+    for (int r = 0; r < WIDTH; r++) {
+        __uint128_t acc = 0; /* 12 x (2^64 x 49) < 2^74: no overflow */
+        for (int j = 0; j < WIDTH; j++)
+            acc += (__uint128_t)s[j] * SVT_MDS[r][j];
+        t[r] = gl_reduce128(acc);
+    }
+    memcpy(s, t, sizeof t);
+}
+
+static void poseidon12(uint64_t *s) {
+    int r = 0;
+    for (; r < HALF_FULL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            s[i] = gl_add(s[i], SVT_RC[r * WIDTH + i]);
+        for (int i = 0; i < WIDTH; i++) s[i] = gl_sbox7(s[i]);
+        gl_mds12(s);
+    }
+    for (; r < HALF_FULL + N_PARTIAL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            s[i] = gl_add(s[i], SVT_RC[r * WIDTH + i]);
+        s[0] = gl_sbox7(s[0]);
+        gl_mds12(s);
+    }
+    for (; r < N_ROUNDS; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            s[i] = gl_add(s[i], SVT_RC[r * WIDTH + i]);
+        for (int i = 0; i < WIDTH; i++) s[i] = gl_sbox7(s[i]);
+        gl_mds12(s);
+    }
+}
+
+/* states: [n, 12] row-major, in-place. */
+void svt_permute_batch(uint64_t *states, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) poseidon12(states + (size_t)WIDTH * i);
+}
+
+/* plonky2 hash_n_to_m_no_pad, m=4: in [n, w] -> out [n, 4]. */
+void svt_hash_no_pad_batch(const uint64_t *in, int64_t n, int64_t w,
+                           uint64_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t s[WIDTH] = {0};
+        const uint64_t *row = in + (size_t)w * i;
+        for (int64_t start = 0; start < w; start += RATE) {
+            int64_t c = w - start < RATE ? w - start : RATE;
+            for (int64_t j = 0; j < c; j++) s[j] = row[start + j];
+            poseidon12(s);
+        }
+        memcpy(out + 4 * i, s, 4 * sizeof(uint64_t));
+    }
+}
+
+/* Merkle 8->4 compression over one level: in [m, 8] (left||right digests)
+ * -> out [m, 4] (reference: chip/merkle_proof_chip.rs:58-70). */
+void svt_merkle_level(const uint64_t *in, int64_t m, uint64_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; i++) {
+        uint64_t s[WIDTH] = {0};
+        memcpy(s, in + 8 * i, 8 * sizeof(uint64_t));
+        poseidon12(s);
+        memcpy(out + 4 * i, s, 4 * sizeof(uint64_t));
+    }
+}
+
+/* Fiat-Shamir PoW grind, one lane: duplex state12 with `k` buffered inputs
+ * plus the candidate, pop the challenge from the END of the rate window
+ * (state[7]; reference: chip/hasher_chip.rs:86), and require `pow_bits`
+ * leading zero bits. Returns the first witness >= start. */
+uint64_t svt_grind_pow(const uint64_t *state12, const uint64_t *prefix,
+                       int64_t k, int32_t pow_bits, uint64_t start) {
+    for (uint64_t cand = start;; cand++) {
+        uint64_t s[WIDTH];
+        memcpy(s, state12, sizeof s);
+        for (int64_t j = 0; j < k; j++) s[j] = prefix[j];
+        s[k] = cand;
+        poseidon12(s);
+        if (pow_bits == 0 || (s[RATE - 1] >> (64 - pow_bits)) == 0)
+            return cand;
+    }
+}
+
+/* Batched grind: states [B, 12], prefixes [B, k] -> out [B]. */
+void svt_grind_pow_batch(const uint64_t *states, const uint64_t *prefixes,
+                         int64_t B, int64_t k, int32_t pow_bits,
+                         uint64_t *out) {
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t b = 0; b < B; b++)
+        out[b] = svt_grind_pow(states + (size_t)WIDTH * b,
+                               prefixes + (size_t)k * b, k, pow_bits, 0);
+}

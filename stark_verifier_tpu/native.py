@@ -1,0 +1,126 @@
+"""ctypes loader for the native host hash plane (native/svt_poseidon.c).
+
+Builds the shared library on first import if missing/stale (gcc, ~1 s; the
+artifact is cached next to the source) and exposes numpy-friendly wrappers.
+`lib()` returns None when building fails or SVT_NATIVE=0 — callers fall back
+to the pure-numpy path, so the native plane is an accelerator, never a
+requirement. Bit-exactness vs the numpy golden model is pinned by
+tests/test_native.py."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parent.parent
+_SRC = _REPO / "native" / "svt_poseidon.c"
+_HDR = _REPO / "native" / "poseidon_constants.h"
+_SO = _REPO / "native" / "_svt_poseidon.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    if not _HDR.exists():
+        r = subprocess.run(
+            ["python", str(_REPO / "tools" / "gen_native_constants.py")],
+            capture_output=True)
+        if r.returncode != 0:
+            return False
+    cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           str(_SRC), "-o", str(_SO)]
+    r = subprocess.run(cmd, capture_output=True)
+    if r.returncode != 0:
+        # retry without OpenMP (portability fallback)
+        cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
+        r = subprocess.run(cmd, capture_output=True)
+    return r.returncode == 0
+
+
+def lib():
+    """The loaded CDLL, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("SVT_NATIVE", "1") != "1":
+        return None
+    try:
+        if (not _SO.exists()
+                or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+            if not _build():
+                return None
+        L = ctypes.CDLL(str(_SO))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.svt_permute_batch.argtypes = [u64p, ctypes.c_int64]
+        L.svt_hash_no_pad_batch.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int64, u64p]
+        L.svt_merkle_level.argtypes = [u64p, ctypes.c_int64, u64p]
+        L.svt_grind_pow.restype = ctypes.c_uint64
+        L.svt_grind_pow.argtypes = [
+            u64p, u64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64]
+        L.svt_grind_pow_batch.argtypes = [
+            u64p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p]
+        _lib = L
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def permute12_np(state: np.ndarray) -> np.ndarray:
+    """Poseidon permutation on stacked state uint64[12, ...]."""
+    L = lib()
+    assert L is not None
+    trailing = state.shape[1:]
+    # copy=True: svt_permute_batch works in place, and ascontiguousarray
+    # would alias the caller's buffer for already-contiguous layouts
+    flat = np.array(
+        np.moveaxis(state, 0, -1).reshape(-1, 12), dtype=np.uint64,
+        copy=True, order="C")
+    L.svt_permute_batch(_ptr(flat), flat.shape[0])
+    return np.moveaxis(flat.reshape(trailing + (12,)), -1, 0)
+
+
+def hash_no_pad_np(rows: np.ndarray) -> np.ndarray:
+    """plonky2 hash_n_to_m_no_pad (m=4): uint64[n, w] -> uint64[n, 4]."""
+    L = lib()
+    assert L is not None
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    n, w = rows.shape
+    out = np.empty((n, 4), dtype=np.uint64)
+    L.svt_hash_no_pad_batch(_ptr(rows), n, w, _ptr(out))
+    return out
+
+
+def merkle_level_np(level: np.ndarray) -> np.ndarray:
+    """One Merkle 8->4 level: uint64[2m, 4] -> uint64[m, 4]."""
+    L = lib()
+    assert L is not None
+    level = np.ascontiguousarray(level, dtype=np.uint64)
+    m = level.shape[0] // 2
+    out = np.empty((m, 4), dtype=np.uint64)
+    L.svt_merkle_level(_ptr(level.reshape(m, 8)), m, _ptr(out))
+    return out
+
+
+def grind_pow_np(states: np.ndarray, prefixes: np.ndarray,
+                 pow_bits: int) -> np.ndarray:
+    """Batched PoW grind: states uint64[B, 12], prefixes uint64[B, k]
+    -> witnesses uint64[B]."""
+    L = lib()
+    assert L is not None
+    states = np.ascontiguousarray(states, dtype=np.uint64)
+    prefixes = np.ascontiguousarray(prefixes, dtype=np.uint64)
+    B, k = prefixes.shape if prefixes.ndim == 2 else (states.shape[0], 0)
+    out = np.empty(B, dtype=np.uint64)
+    L.svt_grind_pow_batch(_ptr(states), _ptr(prefixes), B, k, pow_bits,
+                          _ptr(out))
+    return out

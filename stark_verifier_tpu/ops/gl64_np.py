@@ -279,3 +279,40 @@ def sum_axis0(a):
 
 def index(a, sl):
     return a[sl]
+
+
+# ------------------------------------------------------------------ Poseidon
+_RC30 = None
+
+
+def permute12(state):
+    """Poseidon permutation on stacked state uint64[12, ...].
+
+    Routes to the native C hash plane (stark_verifier_tpu/native.py) when
+    available — the host-side hot loop of the prover/fixture pipeline —
+    with a vectorized numpy fallback (identical canonical semantics)."""
+    from .. import native
+
+    if native.lib() is not None:
+        return native.permute12_np(np.asarray(state, dtype=np.uint64))
+    global _RC30
+    if _RC30 is None:
+        from ._poseidon_gl_constants import ALL_ROUND_CONSTANTS
+
+        _RC30 = np.asarray(ALL_ROUND_CONSTANTS, np.uint64).reshape(30, 12)
+    s = np.asarray(state, dtype=np.uint64)
+    extra = (slice(None),) + (None,) * (s.ndim - 1)
+
+    def sbox7(x):
+        x2 = mul(x, x)
+        x3 = mul(x2, x)
+        return mul(x3, mul(x2, x2))
+
+    for r in range(30):
+        s = add(s, _RC30[r][extra])
+        if 4 <= r < 26:
+            s = np.concatenate([sbox7(s[:1]), s[1:]], axis=0)
+        else:
+            s = sbox7(s)
+        s = mds12(s)
+    return s

@@ -427,7 +427,22 @@ def _ext_mul_scalar_poly(poly, s):
 
 def _grind_pow(ch: Challenger, pow_bits: int, B: int, chunk: int = 1 << 13):
     """Find per-proof witnesses w s.t. observing w then squeezing yields a
-    challenge with `pow_bits` leading zero bits. Vectorized over candidates."""
+    challenge with `pow_bits` leading zero bits. Vectorized over candidates.
+
+    Native fast path: the C hash plane grinds each lane to completion
+    (expected 2^pow_bits permutations/lane) instead of hashing
+    [B, chunk] candidate tiles through numpy."""
+    from .. import native
+
+    if native.lib() is not None and ch.permute_fn is pg.permute:
+        states = np.stack(
+            [np.broadcast_to(s, (B,)) for s in ch.state], axis=1)
+        if ch.input_buffer:
+            prefixes = np.stack(
+                [np.broadcast_to(x, (B,)) for x in ch.input_buffer], axis=1)
+        else:
+            prefixes = np.zeros((B, 1), dtype=np.uint64)[:, :0]
+        return native.grind_pow_np(states, prefixes, pow_bits)
     found = np.zeros(B, dtype=bool)
     out = np.zeros(B, dtype=np.uint64)
     base = 0

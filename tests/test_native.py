@@ -1,0 +1,86 @@
+"""Native C hash plane (native/svt_poseidon.c via stark_verifier_tpu/native)
+vs the numpy golden model: permutation, sponge, Merkle compression, and the
+Fiat-Shamir PoW grind must be bit-exact (reference semantics:
+chip/hasher_chip.rs:61-171, chip/merkle_proof_chip.rs:58-70)."""
+import numpy as np
+import pytest
+
+from stark_verifier_tpu import native
+from stark_verifier_tpu.ops import gl64_np as gl
+from stark_verifier_tpu.ops import poseidon_gl as pg
+
+if native.lib() is None:
+    pytest.skip("native hash plane unavailable (gcc build failed)",
+                allow_module_level=True)
+
+rng = np.random.default_rng(42)
+
+
+def _numpy_permute12(state):
+    """The pure-numpy fallback inside gl64_np.permute12, forced."""
+    saved_lib, saved_tried = native._lib, native._tried
+    native._lib, native._tried = None, True
+    try:
+        return gl.permute12(state)
+    finally:
+        native._lib, native._tried = saved_lib, saved_tried
+
+
+def test_permute_matches_numpy_and_edge_values():
+    s = rng.integers(0, gl.P, (12, 37), dtype=np.uint64)
+    s[:, 0] = 0
+    s[0, 1] = gl.P - 1  # canonical max
+    got = native.permute12_np(s.copy())
+    exp = _numpy_permute12(s.copy())
+    assert (got == exp).all()
+    # in-place safety: the caller's array must be untouched
+    s2 = s.copy()
+    native.permute12_np(s2)
+    assert (s2 == s).all()
+
+
+def test_hash_no_pad_matches_sponge():
+    for w in (5, 8, 9, 139):
+        rows = rng.integers(0, gl.P, (6, w), dtype=np.uint64)
+        got = native.hash_no_pad_np(rows)
+        exp = np.stack(
+            pg.hash_no_pad(gl, [rows[:, i] for i in range(w)],
+                           shape=(6,)), axis=-1)
+        assert (got == exp).all(), w
+
+
+def test_merkle_level_matches_two_to_one():
+    level = rng.integers(0, gl.P, (16, 4), dtype=np.uint64)
+    got = native.merkle_level_np(level)
+    exp = np.stack(
+        pg.two_to_one(gl,
+                      [level[0::2, i] for i in range(4)],
+                      [level[1::2, i] for i in range(4)],
+                      shape=(8,)), axis=-1)
+    assert (got == exp).all()
+
+
+def test_grind_pow_matches_challenger_semantics():
+    from stark_verifier_tpu.core.challenger import Challenger
+
+    B, bits = 4, 8
+    ch = Challenger(gl, shape=(B,))
+    ch.observe_elements([rng.integers(0, gl.P, B, dtype=np.uint64)
+                         for _ in range(11)])  # leaves 3 buffered inputs
+    states = np.stack([np.broadcast_to(s, (B,)) for s in ch.state], axis=1)
+    prefixes = np.stack(
+        [np.broadcast_to(x, (B,)) for x in ch.input_buffer], axis=1)
+    wit = native.grind_pow_np(states, prefixes, bits)
+    for b in range(B):
+        # replay: observing the witness then squeezing must clear pow_bits,
+        # and no smaller witness may
+        def response(w):
+            c = Challenger(gl)
+            c.state = [np.uint64(states[b, i]) for i in range(12)]
+            c.input_buffer = [np.uint64(x) for x in prefixes[b]]
+            c.observe_element(np.uint64(w))
+            return int(c.get_challenge())
+
+        assert response(wit[b]) >> (64 - bits) == 0
+        for smaller in range(min(int(wit[b]), 50)):
+            assert response(smaller) >> (64 - bits) != 0

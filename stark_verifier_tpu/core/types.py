@@ -305,7 +305,10 @@ def save_proofs(path, proofs: List[Proof], common: CommonData, vk: VerifierOnlyD
 
 
 def load_proofs(path):
-    z = np.load(path)
+    zf = np.load(path)
+    # hoist decompression: NpzFile re-inflates an array on EVERY key access,
+    # which made the per-proof loop below O(n^2) for 1024-proof fixtures
+    z = {k: zf[k] for k in zf.files}
     common = CommonData.from_json(bytes(z["common_json"]).decode())
     vk = VerifierOnlyData(z["vk_cap"], z["vk_digest"])
     n = z["wires_cap"].shape[0]

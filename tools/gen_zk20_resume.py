@@ -90,10 +90,9 @@ def main():
         save_proofs(FIXDIR / f"sem_{tag}.npz", proofs, data.common, data.vk)
         print(f"[{len(proofs)}/{TOTAL}] chunk {b-a} in {dt:.0f}s "
               f"({dt/(b-a):.1f}s/proof) -> sem_{tag}.npz", flush=True)
-        if len(proofs) < 1024:
-            prev = FIXDIR / f"sem_zk20b{a}.npz"
-            if prev.exists() and a > 64:
-                prev.unlink()
+        prev = FIXDIR / f"sem_zk20b{a}.npz"
+        if prev.exists() and a > 64:
+            prev.unlink()
     print("DONE", flush=True)
 
 

@@ -127,6 +127,7 @@ def ntt_4step(x: GF, mesh, axis: str = "ntt") -> GF:
         for b in range(n1):
             dft1[a, b] = pow(wn1, a * b, gl.P)
 
+    @jax.jit  # one compile: eager shard_map dispatches each op to the mesh
     @partial(_shard_map, mesh=mesh, in_specs=P(*([None] * (x.l0.ndim - 1) + [axis])),
              out_specs=P(*([None] * (x.l0.ndim - 1) + [axis])))
     def _run(xs: GF) -> GF:

@@ -1,0 +1,76 @@
+"""Prover LDE backends: the coset low-degree extension is the prover's FFT
+plane (wires / zs+partial-products / quotient oracles all commit to an LDE;
+see prove.py). Three backends:
+
+  np   — host numpy (default; fine for small fixture circuits)
+  jax  — single-device `ops/ntt_jax.coset_lde` (TPU-accelerated proving)
+  mesh — transform axis partitioned over the device mesh with
+         `ops/ntt_jax.ntt_4step` (all_to_all butterfly exchange over ICI)
+
+`mesh` is the TPU-framework replacement for the reference's rayon
+proof-generation fan-out (reference: plonky2_semaphore/recursion.rs:300-308;
+SURVEY §2.3 / BASELINE config 5): one batched prover whose long-axis FFT
+rides the mesh, instead of N independent single-threaded provers.
+
+Selected per-call or via SVT_PROVER_LDE.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops import gl64_np as gl
+from ..ops import ntt_np
+
+
+def _scaled_pad(coeffs: np.ndarray, rate_bits: int, shift: int) -> np.ndarray:
+    """Zero-pad to the LDE length and fold the coset shift into the
+    coefficients: p(shift*x) has coefficients c_i * shift^i."""
+    n = coeffs.shape[-1]
+    n_lde = n << rate_bits
+    powers = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        powers[i] = acc
+        acc = (acc * shift) % gl.P
+    scaled = gl.mul(coeffs, powers)
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n_lde - n)]
+    return np.pad(scaled, pad)
+
+
+def coset_lde(coeffs: np.ndarray, rate_bits: int, shift: int,
+              backend: str | None = None) -> np.ndarray:
+    """coeffs uint64 [..., n] -> evals uint64 [..., n << rate_bits] on the
+    coset shift*H. Bit-exact across backends."""
+    backend = backend or os.environ.get("SVT_PROVER_LDE", "np")
+    if backend == "np":
+        return ntt_np.coset_lde(coeffs, rate_bits, shift)
+
+    import jax
+
+    from ..ops import gl64_jax as gj
+    from ..ops import ntt_jax as ntj
+
+    if backend == "jax":
+        x = gj.from_u64(coeffs)
+        out = jax.jit(ntj.coset_lde, static_argnums=(1, 2))(
+            x, rate_bits, shift)
+        return gj.to_u64(out)
+    if backend == "mesh":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis="ntt")
+        D = mesh.shape["ntt"]
+        padded = _scaled_pad(coeffs, rate_bits, shift)
+        n_lde = padded.shape[-1]
+        if D < 2 or n_lde % (D * D):
+            # mesh can't partition this transform; single-device fallback
+            return coset_lde(coeffs, rate_bits, shift, backend="jax")
+        spec = P(*([None] * (padded.ndim - 1) + ["ntt"]))
+        x = jax.device_put(gj.from_u64(padded), NamedSharding(mesh, spec))
+        out = ntj.ntt_4step(x, mesh, axis="ntt")
+        return gj.to_u64(out)
+    raise ValueError(f"unknown LDE backend {backend!r}")

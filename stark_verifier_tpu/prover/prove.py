@@ -26,6 +26,7 @@ from ..core.types import CommonData, FriProof, FriQueryRounds, OpeningSet, Proof
 from ..ops import ext2
 from ..ops import gl64_np as gl
 from ..ops import ntt_np as ntt
+from . import lde as _lde
 from ..ops import poseidon_gl as pg
 from ..utils.bits import reverse_index_bits_perm
 from .builder import CircuitData
@@ -113,7 +114,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int,
 
     _vlog("wires commit")
     wire_coeffs = ntt.intt(W)
-    wire_lde = ntt.coset_lde(wire_coeffs, rate_bits, SHIFT)  # [nw, B, lde_n]
+    wire_lde = _lde.coset_lde(wire_coeffs, rate_bits, SHIFT)  # [nw, B, lde_n]
     perm = reverse_index_bits_perm(lde_n)
     wires_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(wire_lde, 0, -1)), perm, axis=-2
@@ -179,7 +180,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int,
     zs_pp_values = np.stack(zs_pp_values)  # [nc*(1+npp), B, n]
 
     zs_pp_coeffs = ntt.intt(zs_pp_values)
-    zs_pp_lde = ntt.coset_lde(zs_pp_coeffs, rate_bits, SHIFT)
+    zs_pp_lde = _lde.coset_lde(zs_pp_coeffs, rate_bits, SHIFT)
     zs_pp_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(zs_pp_lde, 0, -1)), perm, axis=-2
     ))
@@ -192,7 +193,7 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int,
     quotient_polys = _compute_quotient(
         data, W, wire_lde, zs_pp_lde, pi_hash, betas, gammas, alphas, B
     )  # [nc*qdf, B, n]
-    q_lde = ntt.coset_lde(quotient_polys, rate_bits, SHIFT)
+    q_lde = _lde.coset_lde(quotient_polys, rate_bits, SHIFT)
     q_leaves = _salt(np.take(
         np.ascontiguousarray(np.moveaxis(q_lde, 0, -1)), perm, axis=-2
     ))

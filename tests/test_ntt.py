@@ -81,8 +81,4 @@ def test_ntt_4step_distributed():
 
 
 def test_ntt_4step_distributed_large():
-    import os
-
-    if not os.environ.get("SVT_SLOW"):
-        pytest.skip("slow (bigger shard_map compile); set SVT_SLOW=1")
     _run_4step(256)

@@ -257,12 +257,53 @@ def _kernel_mxu(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, mds_ref,
     out_hi_ref[...] = hi
 
 
-def _use_mxu() -> bool:
-    # default off until the MXU variant is (re)validated on the real chip —
-    # a cold driver bench must never gamble on an untested kernel compile
+def _permute_planes_2stream(lo, hi, rc_lo, rc_hi, mds):
+    """Two independent half-tiles interleaved round by round so the
+    scheduler can overlap one stream's MXU MDS matmul with the other's
+    VPU sbox chain (the dependence graph permits it; same math)."""
+    B = lo.shape[1]
+    h = B // 2
+    A = (lo[:, :h], hi[:, :h])
+    C = (lo[:, h:], hi[:, h:])
+
+    def rc_sbox(st, r, partial):
+        l, hh = _add_gl(st[0], st[1], rc_lo[r][:, None], rc_hi[r][:, None])
+        if partial:
+            s0l, s0h = _sbox7(l[:1], hh[:1])
+            l = jnp.concatenate([s0l, l[1:]], axis=0)
+            hh = jnp.concatenate([s0h, hh[1:]], axis=0)
+        else:
+            l, hh = _sbox7(l, hh)
+        return l, hh
+
+    for r in range(2 * HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS):
+        partial = HALF_N_FULL_ROUNDS <= r < HALF_N_FULL_ROUNDS + N_PARTIAL_ROUNDS
+        A = rc_sbox(A, r, partial)
+        A_m = mds(*A)          # MXU for stream A ...
+        C = rc_sbox(C, r, partial)  # ... while the VPU works on stream C
+        A = A_m
+        C = mds(*C)
+    return (jnp.concatenate([A[0], C[0]], axis=1),
+            jnp.concatenate([A[1], C[1]], axis=1))
+
+
+def _kernel_mxu2(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, mds_ref,
+                 out_lo_ref, out_hi_ref):
+    mds = lambda l, h: _mds_mxu(l, h, mds_ref[...])
+    lo, hi = _permute_planes_2stream(
+        lo_ref[...], hi_ref[...], rc_lo_ref[...], rc_hi_ref[...], mds)
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+def _use_mxu() -> int:
+    """0 = pure-VPU MDS, 1 = MXU MDS, 2 = MXU MDS + two interleaved streams.
+
+    Default off until the MXU variants are (re)validated on the real chip —
+    a cold driver bench must never gamble on an untested kernel compile."""
     import os
 
-    return os.environ.get("SVT_PALLAS_MXU", "0") == "1"
+    return int(os.environ.get("SVT_PALLAS_MXU", "0") or 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b", "mxu"))
@@ -292,9 +333,11 @@ def poseidon_permute_batch(lo, hi, interpret=False, block_b=1024, mxu=None):
         jax.ShapeDtypeStruct((WIDTH, B), jnp.uint32),
     ]
     if mxu:
+        kernel = _kernel_mxu2 if (int(mxu) >= 2 and bb % 256 == 0) \
+            else _kernel_mxu
         return tuple(
             pl.pallas_call(
-                _kernel_mxu,
+                kernel,
                 grid=grid,
                 in_specs=[spec, spec, const_spec((30, WIDTH)),
                           const_spec((30, WIDTH)),

@@ -50,5 +50,15 @@ def test_mxu_permutation_matches_golden_interpret():
     state = rng.integers(0, gl.P, (12, B), dtype=np.uint64)
     lo, hi = _planes(state)
     out_lo, out_hi = pk.poseidon_permute_batch(
-        lo, hi, interpret=True, block_b=128, mxu=True)
+        lo, hi, interpret=True, block_b=128, mxu=1)
+    assert (_join(out_lo, out_hi) == pg.permute(gl, state)).all()
+
+
+def test_mxu2_two_stream_matches_golden_interpret():
+    """Kernel v2b: two interleaved half-streams (MXU/VPU overlap)."""
+    B = 256
+    state = rng.integers(0, gl.P, (12, B), dtype=np.uint64)
+    lo, hi = _planes(state)
+    out_lo, out_hi = pk.poseidon_permute_batch(
+        lo, hi, interpret=True, block_b=256, mxu=2)
     assert (_join(out_lo, out_hi) == pg.permute(gl, state)).all()

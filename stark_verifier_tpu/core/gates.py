@@ -653,10 +653,90 @@ def eval_filtered(R, gate, selector_index, group, num_selectors, row,
 def poseidon_witness_fill(F, inputs, swap):
     """Compute all PoseidonGate wire values (numpy backend) for given inputs.
 
-    Runs the identical fast-partial-round schedule as eval_unfiltered but
-    records the intermediate S-box inputs instead of constraining them.
-    Returns (wires: dict wire_index -> value, outputs: list of 12).
+    Vectorized over the stacked state [12, B] — the scalar reference
+    schedule below (`_poseidon_witness_fill_ref`) made witness generation
+    the recursion prover's hot spot (~1,350 tiny numpy calls per gate row).
+    Bit-identical wires; differential-tested in tests/test_gates.py.
     """
+    import numpy as np
+
+    from ..ops import gl64_np as gl
+
+    g = PoseidonGate()
+    shape = np.broadcast_shapes(
+        *[np.shape(x) for x in inputs], np.shape(swap))
+    ins = np.stack([np.broadcast_to(np.asarray(x, np.uint64), shape)
+                    for x in inputs])  # [12, *shape]
+    sw = np.broadcast_to(np.asarray(swap, np.uint64), shape)
+    ex = (slice(None),) + (None,) * len(shape)
+
+    wires = {}
+    for i in range(T):
+        wires[g.wire_input(i)] = ins[i]
+    wires[g.WIRE_SWAP] = sw
+
+    deltas = gl.mul(sw[None], gl.sub(ins[4:8], ins[0:4]))  # [4, *shape]
+    for i in range(4):
+        wires[g.wire_delta(i)] = deltas[i]
+    state = ins.copy()
+    state[0:4] = gl.add(ins[0:4], deltas)
+    state[4:8] = gl.sub(ins[4:8], deltas)
+
+    rc = np.asarray(ALL_ROUND_CONSTANTS, np.uint64).reshape(30, T)
+
+    def sbox_all(s):
+        s2 = gl.mul(s, s)
+        return gl.mul(gl.mul(s2, s), gl.mul(s2, s2))
+
+    round_ctr = 0
+    for r in range(R_F_HALF):
+        state = gl.add(state, rc[round_ctr][ex])
+        if r != 0:
+            for i in range(T):
+                wires[g.wire_full_sbox_0(r, i)] = state[i]
+        state = gl.mds12(sbox_all(state))
+        round_ctr += 1
+
+    state = gl.add(
+        state, np.asarray(FAST_PARTIAL_FIRST_ROUND_CONSTANT, np.uint64)[ex])
+    # partial-layer init: out[c] = sum_r IM[r-1, c-1] * state[r], out[0]=s0
+    IM = np.asarray(
+        FAST_PARTIAL_ROUND_INITIAL_MATRIX, np.uint64).reshape(T - 1, T - 1)
+    prod = gl.mul(IM[(Ellipsis,) + (None,) * len(shape)], state[1:, None])
+    init = np.empty_like(state)
+    init[0] = state[0]
+    init[1:] = gl.sum_axis0(prod)  # [11(c), *shape], summed over r
+    state = init
+
+    WH = np.asarray(FAST_PARTIAL_ROUND_W_HATS, np.uint64).reshape(R_P, T - 1)
+    VS = np.asarray(FAST_PARTIAL_ROUND_VS, np.uint64).reshape(R_P, T - 1)
+    M0 = MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]
+    for r in range(R_P):
+        wires[g.wire_partial_sbox(r)] = state[0]
+        s0 = sbox_all(state[0])
+        if r < R_P - 1:
+            s0 = gl.add(s0, np.uint64(FAST_PARTIAL_ROUND_CONSTANTS[r]))
+        d = gl.add(gl.mul_small(s0, M0),
+                   gl.sum_axis0(gl.mul(WH[r][ex], state[1:])))
+        rest = gl.add(gl.mul(VS[r][ex], s0[None]), state[1:])
+        state = np.concatenate([d[None], rest], axis=0)
+    round_ctr += R_P
+
+    for r in range(R_F_HALF):
+        state = gl.add(state, rc[round_ctr][ex])
+        for i in range(T):
+            wires[g.wire_full_sbox_1(r, i)] = state[i]
+        state = gl.mds12(sbox_all(state))
+        round_ctr += 1
+
+    for i in range(T):
+        wires[g.wire_output(i)] = state[i]
+    return wires, list(state)
+
+
+def _poseidon_witness_fill_ref(F, inputs, swap):
+    """Scalar reference schedule (kept as the differential oracle for the
+    vectorized fill above)."""
     from .rings import BaseRing
 
     g = PoseidonGate()

@@ -91,3 +91,24 @@ def test_simple_gate_evaluators_base_vs_ext_consistency():
         assert len(base) == len(ext) == gate.num_constraints
         for b, e in zip(base, ext):
             assert b == e[0] and e[1] == 0, gate.id
+
+
+def test_poseidon_witness_fill_vectorized_matches_ref():
+    """The stacked witness fill (recursion-prover hot spot) is bit-identical
+    to the scalar reference schedule, including all recorded sbox wires."""
+    import numpy as np
+
+    from stark_verifier_tpu.core import gates as G
+    from stark_verifier_tpu.ops import gl64_np as gl
+
+    rng = np.random.default_rng(21)
+    B = 3
+    ins = [rng.integers(0, gl.P, B, dtype=np.uint64) for _ in range(12)]
+    for swap in (np.zeros(B, np.uint64), np.ones(B, np.uint64)):
+        w_new, out_new = G.poseidon_witness_fill(gl, ins, swap)
+        w_ref, out_ref = G._poseidon_witness_fill_ref(gl, ins, swap)
+        assert set(w_new) == set(w_ref)
+        for k in w_ref:
+            assert (np.asarray(w_new[k]) == np.asarray(w_ref[k])).all(), k
+        for a, b in zip(out_new, out_ref):
+            assert (np.asarray(a) == np.asarray(b)).all()

@@ -153,3 +153,19 @@ void svt_grind_pow_batch(const uint64_t *states, const uint64_t *prefixes,
         out[b] = svt_grind_pow(states + (size_t)WIDTH * b,
                                prefixes + (size_t)k * b, k, pow_bits, 0);
 }
+
+/* Elementwise canonical Goldilocks multiply: out = a * b mod p. The numpy
+ * golden model's 32-bit limb decomposition costs ~12 memory passes per
+ * mul; this is one fused pass (gl64_np.mul routes arrays here). */
+void svt_gl_mul(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+}
+
+/* out = a * b + c mod p (canonical inputs). */
+void svt_gl_mul_add(const uint64_t *a, const uint64_t *b, const uint64_t *c,
+                    uint64_t *out, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = gl_add(gl_mul(a[i], b[i]), c[i]);
+}

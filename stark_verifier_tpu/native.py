@@ -65,6 +65,8 @@ def lib():
             u64p, u64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64]
         L.svt_grind_pow_batch.argtypes = [
             u64p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p]
+        L.svt_gl_mul.argtypes = [u64p, u64p, u64p, ctypes.c_int64]
+        L.svt_gl_mul_add.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_int64]
         _lib = L
     except Exception:
         _lib = None
@@ -123,4 +125,14 @@ def grind_pow_np(states: np.ndarray, prefixes: np.ndarray,
     out = np.empty(B, dtype=np.uint64)
     L.svt_grind_pow_batch(_ptr(states), _ptr(prefixes), B, k, pow_bits,
                           _ptr(out))
+    return out
+
+
+def gl_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise canonical Goldilocks multiply (same-shape arrays)."""
+    L = lib()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.shape, dtype=np.uint64)
+    L.svt_gl_mul(_ptr(a), _ptr(b), _ptr(out), a.size)
     return out

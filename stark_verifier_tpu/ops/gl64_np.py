@@ -96,7 +96,27 @@ def reduce128(lo, hi):
     return t2 - ge.astype(np.uint64) * _P
 
 
+_native_mul = None
+
+
+def _get_native_mul():
+    global _native_mul
+    if _native_mul is None:
+        from .. import native
+
+        _native_mul = native.gl_mul_np if native.lib() is not None else False
+    return _native_mul
+
+
 def mul(a, b):
+    # large arrays: one fused C pass (native plane) beats the ~12-pass
+    # limb decomposition below
+    if getattr(a, "size", 1) >= 8192 or getattr(b, "size", 1) >= 8192:
+        nm = _get_native_mul()
+        if nm is not False:
+            if np.shape(a) != np.shape(b):
+                a, b = np.broadcast_arrays(a, b)
+            return nm(a, b)
     lo, hi = mul128(a, b)
     return reduce128(lo, hi)
 

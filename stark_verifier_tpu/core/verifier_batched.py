@@ -6,9 +6,9 @@ values are [B, Q], scalars are [B]. This keeps the VPU lanes full inside
 every op regardless of vmap behavior and lets the Poseidon Pallas kernel
 (SVT_PALLAS=1) see thousands of lanes.
 
-Status: written and shape-checked; numerically validated against the vmap
-path on small fixtures before it becomes the bench default (tracked in
-NOTES_ROUND1.md round-2 checklist).
+Status: validated against the vmap path (tests/test_batched_verifier.py,
+honest + corrupt lanes, zk and bn254-config fixtures) and is the bench
+default (bench.py / models/flagship batched path).
 """
 from __future__ import annotations
 
@@ -45,9 +45,11 @@ def verify_batched(F, common: CommonData, vk_cap, circuit_digest, pa: dict):
     R = ExtRing(F)
     B = pa["public_inputs"].l0.shape[0]
 
+    # PI hash is the InnerHasher: stays Goldilocks Poseidon under every
+    # config (plonky2_config.rs:74); the transcript/Merkle permutation
+    # follows common.config.hasher (plonky2_config.rs:53-104).
     pi_hash = pg.hash_no_pad(
         F, V1._scalar_list(F, pa["public_inputs"]), shape=(B,))
-    # Challenger over [B]-shaped lanes; the schedule code is shared.
     ch = _get_challenges_batched(F, common, pa, pi_hash, circuit_digest, B)
 
     vanishing, zeta_pow_deg = V1.eval_vanishing_poly(F, common, ch, pa, pi_hash)
@@ -86,7 +88,7 @@ def _get_challenges_batched(F, common, pa, pi_hash, circuit_digest, B):
     pa2 = dict(pa)
     ch = V1.ProofChallenges()
     nc = common.config.num_challenges
-    c = Challenger(F, shape=(B,))
+    c = Challenger(F, shape=(B,), permute=V1._perm_for(F, common))
     for e in V1._scalar_list(F, circuit_digest):
         c.observe_element(b_(e))
     for e in pi_hash:
@@ -164,10 +166,12 @@ def _verify_fri_batched(F, common, ch, pa, vk_cap, reduced_openings, zeta,
 
     caps[0] = gmap(lambda a: jnp.broadcast_to(a, (B,) + a.shape), caps[0])
 
+    perm = V1._perm_for(F, common)
     states = []
     for o in range(4):
         leaf = V1._scalar_list(F, pa[f"init_evals_{o}"])  # [B, Q] each
-        states.append(pg.hash_or_noop(F, leaf, shape=leaf[0].shape))
+        states.append(
+            pg.hash_or_noop(F, leaf, shape=leaf[0].shape, permute=perm))
     big_state = [
         F.concat([states[o][i] for o in range(4)], axis=-1) for i in range(4)
     ]
@@ -185,7 +189,8 @@ def _verify_fri_batched(F, common, ch, pa, vk_cap, reduced_openings, zeta,
     ]
     from .merkle import _merkle_walk_scan
 
-    big_state = _merkle_walk_scan(F, big_state, big_bits, big_sibs)
+    big_state = _merkle_walk_scan(F, big_state, big_bits, big_sibs,
+                                  permute=perm)
     Q = xi.l0.shape[-1]
     for o in range(4):
         expected = _take_cap_b(F, caps[o], cap_index)  # [B, Q, 4]
@@ -244,9 +249,10 @@ def _verify_fri_batched(F, common, ch, pa, vk_cap, reduced_openings, zeta,
             for d in range(d_i)
         ]
         cap_li = V1._col_axis(F, pa["commit_phase_caps"], li, axis=1)
-        state = pg.hash_or_noop(F, leaf, shape=leaf[0].shape)
+        state = pg.hash_or_noop(F, leaf, shape=leaf[0].shape, permute=perm)
         if d_i >= 1:
-            state = _merkle_walk_scan(F, state, coset_bits[:d_i], siblings)
+            state = _merkle_walk_scan(F, state, coset_bits[:d_i], siblings,
+                                      permute=perm)
         expected = _take_cap_b(F, cap_li, cap_index)
         for i in range(4):
             ok = ok & _all_q(F.equal(V1._col(F, expected, i), state[i]))

@@ -49,6 +49,7 @@ EPSILON = 0xFFFFFFFF
 
 IS_JAX = True
 PALLAS_OK = False  # Pallas Poseidon kernel expects 16-bit limb planes
+U64_PLANES = True  # planes carry the full u64 (hashers.py bridge adapter)
 
 _P = np.uint64(P)
 _EPS = np.uint64(EPSILON)

@@ -63,11 +63,34 @@ def _bridge_permute_jax(F, state):
     return fr.permute12_bridge(state)
 
 
+def _bridge_permute_u64(F, state):
+    """Bridge permutation for backends whose GF planes carry the full u64
+    value (ops/gl64_cpu — XLA:CPU / multichip dryrun): rebuild the Fr
+    kernel's 16-bit limb planes inside the trace and pack back."""
+    import jax.numpy as jnp
+
+    from . import fr_bn254_jax as fr
+    from . import gl64_jax as gj
+
+    v = state.l0  # all four planes carry the same u64 value
+    limbs = gj.GF(*[
+        jnp.asarray((v >> np.uint64(16 * i)) & np.uint64(0xFFFF), jnp.uint32)
+        for i in range(4)
+    ])
+    out = fr.permute12_bridge(limbs)
+    out64 = sum(
+        jnp.asarray(out[i], jnp.uint64) << np.uint64(16 * i) for i in range(4)
+    )
+    return type(state)(out64, out64, out64, out64)
+
+
 def get_permute(name: str, F):
     """Resolve a permutation callable for hash-config `name` and backend `F`."""
     if name in (None, POSEIDON):
         return pg.permute
     if name == BN254:
+        if getattr(F, "U64_PLANES", False):
+            return _bridge_permute_u64
         if getattr(F, "IS_JAX", False):
             return _bridge_permute_jax
         return _bridge_permute_np

@@ -1,7 +1,9 @@
-"""Multi-process jax.distributed smoke test: 2 processes x 4 virtual CPU
-devices, one global mesh, per-host data feeding, cross-process psum (the
-wiring a multi-host TPU pod uses; parallel/multihost.py; SURVEY §5
-"distributed communication backend")."""
+"""Multi-process jax.distributed PROOF-VERIFICATION test: 2 processes x 4
+virtual CPU devices, one global mesh, per-host data feeding of a real proof
+batch, sharded SPMD verify, cross-process accept-count psum + digest chain
+checked against the host golden replay (the wiring a multi-host TPU pod
+uses; parallel/multihost.py; SURVEY §5 "distributed communication
+backend")."""
 import subprocess
 import sys
 from pathlib import Path
@@ -9,7 +11,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_two_process_psum():
+def test_two_process_verify():
     port = 29519
     procs = [
         subprocess.Popen(
@@ -22,7 +24,7 @@ def test_two_process_psum():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -30,4 +32,4 @@ def test_two_process_psum():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
-        assert f"MULTIHOST_SMOKE[{pid}]: PASS total=120" in out, out[-2000:]
+        assert f"MULTIHOST_VERIFY[{pid}]: PASS count=16" in out, out[-2000:]

@@ -1,8 +1,17 @@
-"""Two-process jax.distributed smoke test (run by tests/test_multihost.py).
+"""Two-process jax.distributed PROOF-VERIFICATION test (run by
+tests/test_multihost.py).
 
 Each process owns 4 virtual CPU devices; the global mesh spans 8 devices
 across both processes — the same wiring a real multi-host TPU pod uses
-(parallel/multihost.py), with DCN standing in for the TCP coordinator.
+(parallel/multihost.py), with the TCP coordinator standing in for DCN. The
+cross-process payload is the real thing, not an integer sum: a 16-proof
+batch is fed per-host (each process supplies only its half), verified by the
+sharded SPMD verifier on the u64 CPU field backend, and reduced with the
+collective accept-count psum + per-shard Poseidon digest chain. Each process
+checks its addressable digest shards against a host replay of the golden
+hash, so cross-process accept bits AND digests must match the
+single-process run.
+
 Usage: python tools/multihost_smoke.py <process_id> <num_processes> <port>
 """
 import os
@@ -38,35 +47,59 @@ assert ok, "init_distributed returned False"
 assert jax.process_count() == nproc, jax.process_count()
 
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stark_verifier_tpu.models import flagship as FS
+from stark_verifier_tpu.ops import gl64_cpu as gc
+from stark_verifier_tpu.ops import gl64_np as gl
+from stark_verifier_tpu.ops import poseidon_gl as pg
+from stark_verifier_tpu.parallel.batch_verify import make_sharded_verifier
 
 mesh = global_data_mesh()
 n_global = len(mesh.devices.reshape(-1))
 assert n_global == 4 * nproc, n_global
 
-# per-host slice of a global batch of "accept bits", reduced with psum
-lo, hi = host_batch_slice(8 * nproc)
-local = np.arange(lo, hi, dtype=np.int32)
+# the cached dryrun fixture: identical on both processes (committed npz)
+B = 16
+proofs, common, vk = FS.build_dryrun_batch(batch=B)
+batched = FS.batched_arrays(proofs)
+sharding, verify_fn, agg_fn = make_sharded_verifier(common, vk, mesh, F=gc)
 
-try:
-    from jax import shard_map as _shard_map
-except ImportError:
-    from jax.experimental.shard_map import shard_map as _shard_map
-from functools import partial
-
-global_shape = (8 * nproc,)
-# make the global array from per-host shards (per-host data loading)
-garr = jax.make_array_from_process_local_data(
-    NamedSharding(mesh, P("data")), local, global_shape)
+# per-host data feeding: this process materializes ONLY its slice
+lo, hi = host_batch_slice(B)
 
 
-@partial(_shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
-def total(x):
-    return jax.lax.psum(x.sum(), "data")
+def feed(a):
+    a = np.asarray(a, np.uint64)
+    g = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(a[lo:hi]), a.shape)
+    return gc.GF(g, g, g, g)
 
 
-out = int(np.asarray(jax.jit(total)(garr)).reshape(-1)[0])
-expect = sum(range(8 * nproc))
-assert out == expect, (out, expect)
-print(f"MULTIHOST_SMOKE[{pid}]: PASS total={out} procs={jax.process_count()} "
-      f"devices={n_global}", flush=True)
+pa_gf = {k: feed(v) for k, v in batched.items()}
+accept = jax.jit(verify_fn)(pa_gf)
+digests, count = agg_fn(pa_gf["public_inputs"], accept)
+
+# accept bits: every addressable shard of this process must be all-True
+for sh in accept.addressable_shards:
+    assert bool(np.asarray(sh.data).all()), f"proc {pid} shard {sh.index}"
+# global count crosses the process boundary via psum
+count = int(np.asarray(count))
+assert count == B, (count, B)
+
+# digest shards: host-replay the golden Poseidon fold for each addressable
+# shard (shard d covers proofs [2d, 2d+2) of the global batch)
+pis_u64 = np.asarray(batched["public_inputs"], np.uint64)
+per = B // n_global
+for sh in digests.l0.addressable_shards:
+    d = sh.index[0].start
+    acc = np.zeros(4, np.uint64)
+    for i in range(per * d, per * (d + 1)):
+        inputs = list(pis_u64[i]) + [np.uint64(1)] + list(acc)
+        acc = np.array(
+            pg.hash_no_pad(gl, [gl.const(int(x)) for x in inputs]),
+            dtype=np.uint64)
+    got = np.asarray(sh.data)[0]
+    assert (got == acc).all(), (pid, d, got, acc)
+
+print(f"MULTIHOST_VERIFY[{pid}]: PASS count={count} procs="
+      f"{jax.process_count()} devices={n_global}", flush=True)

@@ -128,6 +128,74 @@ def grind_pow_np(states: np.ndarray, prefixes: np.ndarray,
     return out
 
 
+# ------------------------------------------------------- BN254 bridge plane
+_BN_SRC = _REPO / "native" / "svt_bn254.c"
+_BN_HDR = _REPO / "native" / "bn254_constants.h"
+_BN_SO = _REPO / "native" / "_svt_bn254.so"
+
+_bn_lib = None
+_bn_tried = False
+
+
+def bn254_lib():
+    """The BN254 bridge CDLL (native/svt_bn254.c), or None."""
+    global _bn_lib, _bn_tried
+    if _bn_lib is not None or _bn_tried:
+        return _bn_lib
+    _bn_tried = True
+    if os.environ.get("SVT_NATIVE", "1") != "1":
+        return None
+    try:
+        if not _BN_HDR.exists():
+            r = subprocess.run(
+                ["python", str(_REPO / "tools" / "gen_bn254_constants.py")],
+                capture_output=True)
+            if r.returncode != 0:
+                return None
+        if (not _BN_SO.exists()
+                or _BN_SO.stat().st_mtime < _BN_SRC.stat().st_mtime):
+            cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-shared",
+                   "-fPIC", str(_BN_SRC), "-o", str(_BN_SO)]
+            r = subprocess.run(cmd, capture_output=True)
+            if r.returncode != 0:
+                cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_BN_SRC),
+                       "-o", str(_BN_SO)]
+                r = subprocess.run(cmd, capture_output=True)
+            if r.returncode != 0:
+                return None
+        L = ctypes.CDLL(str(_BN_SO))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.svt_bridge_permute_batch.argtypes = [u64p, ctypes.c_int64]
+        L.svt_bn254_permute_fr_batch.argtypes = [u64p, ctypes.c_int64]
+        _bn_lib = L
+    except Exception:
+        _bn_lib = None
+    return _bn_lib
+
+
+def bridge_permute12_np(state: np.ndarray) -> np.ndarray:
+    """Width-12 bridge permutation on stacked state uint64[12, ...]."""
+    L = bn254_lib()
+    assert L is not None
+    trailing = state.shape[1:]
+    flat = np.array(
+        np.moveaxis(state, 0, -1).reshape(-1, 12), dtype=np.uint64,
+        copy=True, order="C")
+    L.svt_bridge_permute_batch(_ptr(flat), flat.shape[0])
+    return np.moveaxis(flat.reshape(trailing + (12,)), -1, 0)
+
+
+def bn254_permute_fr_np(states: np.ndarray) -> np.ndarray:
+    """t=5 Fr permutation: uint64[n, 5, 4] little-endian limbs, canonical
+    (non-Montgomery) in and out."""
+    L = bn254_lib()
+    assert L is not None
+    flat = np.array(states, dtype=np.uint64, copy=True, order="C")
+    n = flat.shape[0]
+    L.svt_bn254_permute_fr_batch(_ptr(flat), n)
+    return flat
+
+
 def gl_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elementwise canonical Goldilocks multiply (same-shape arrays)."""
     L = lib()

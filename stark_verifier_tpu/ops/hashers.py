@@ -31,7 +31,17 @@ _BRIDGE_CHUNK = 1024
 
 
 def _bridge_permute_np(F, state):
-    """Bridge permutation for the numpy backend: [12, ...] uint64 in/out."""
+    """Bridge permutation for the numpy backend: [12, ...] uint64 in/out.
+
+    Prefers the native C plane (native/svt_bn254.c — 4x64-limb Montgomery
+    CIOS, OpenMP over lanes; ~100x the jitted XLA:CPU chunk path, which
+    made bn254-config proving/vk-building minute-to-hour scale); falls back
+    to the jitted JAX kernel when the C plane is unavailable."""
+    from .. import native
+
+    if native.bn254_lib() is not None:
+        return native.bridge_permute12_np(
+            np.ascontiguousarray(np.asarray(state, np.uint64)))
     global _jit_bridge
     import jax
 

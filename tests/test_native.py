@@ -84,3 +84,53 @@ def test_grind_pow_matches_challenger_semantics():
         assert response(wit[b]) >> (64 - bits) == 0
         for smaller in range(min(int(wit[b]), 50)):
             assert response(smaller) >> (64 - bits) != 0
+
+
+# -------------------------------------------------- BN254 bridge C plane
+def test_bn254_bridge_native_matches_golden():
+    """native/svt_bn254.c (4x64-limb Montgomery CIOS) vs the python-int
+    golden model (ops/poseidon_bn254.py), incl. non-canonical inputs
+    (reference: bn245_poseidon/native.rs:43-77)."""
+    from stark_verifier_tpu.ops import poseidon_bn254 as pb
+
+    if native.bn254_lib() is None:
+        pytest.skip("bn254 native plane unavailable")
+    xs = rng.integers(0, 2**64, size=(8, 12), dtype=np.uint64)
+    out = native.bridge_permute12_np(np.ascontiguousarray(xs.T))
+    for k in range(8):
+        ref = pb.permute_bn254_goldilocks([int(v) for v in xs[k]])
+        assert [int(x) for x in out[:, k]] == [int(x) for x in ref]
+
+
+def test_bn254_fr_permutation_native_matches_golden():
+    from stark_verifier_tpu.ops import poseidon_bn254 as pb
+    from stark_verifier_tpu.ops._poseidon_bn254_constants import FR_MODULUS
+
+    if native.bn254_lib() is None:
+        pytest.skip("bn254 native plane unavailable")
+    vals = [int(rng.integers(0, 2**62)) for _ in range(5)]
+    ref = [r % FR_MODULUS for r in pb.permute_fr(vals)]
+    limbs = np.zeros((1, 5, 4), np.uint64)
+    for i, v in enumerate(vals):
+        for j in range(4):
+            limbs[0, i, j] = (v >> (64 * j)) & 0xFFFFFFFFFFFFFFFF
+    out = native.bn254_permute_fr_np(limbs)
+    got = [sum(int(out[0, i, j]) << (64 * j) for j in range(4))
+           for i in range(5)]
+    assert got == ref
+
+
+def test_bn254_bridge_native_matches_jax_kernel():
+    """The C plane and the TPU limb kernel agree (both also pinned against
+    the python golden elsewhere; this closes the triangle directly)."""
+    import jax
+
+    from stark_verifier_tpu.ops import fr_bn254_jax as fr
+    from stark_verifier_tpu.ops import gl64_jax as gj
+
+    if native.bn254_lib() is None:
+        pytest.skip("bn254 native plane unavailable")
+    xs = rng.integers(0, 2**64, size=(12, 4), dtype=np.uint64)
+    want = gj.to_u64(jax.jit(fr.permute12_bridge)(gj.from_u64(xs)))
+    got = native.bridge_permute12_np(xs)
+    assert (got == want).all()

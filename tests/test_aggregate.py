@@ -7,6 +7,8 @@ from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.semaphore.access_set import AccessSet
 from stark_verifier_tpu.semaphore.aggregate import aggregate_signals_np
 
+pytestmark = pytest.mark.quick
+
 
 def test_aggregate_digest():
     rng = np.random.default_rng(2)

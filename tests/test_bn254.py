@@ -1,8 +1,11 @@
 """BN254-Poseidon bridge hash (Bn254PoseidonGoldilocksConfig semantics)."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import poseidon_bn254 as pb
+
+pytestmark = pytest.mark.quick
 
 
 def test_encode_decode_roundtrip():

@@ -12,6 +12,8 @@ from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.prover.builder import CircuitBuilder
 from stark_verifier_tpu.prover.prove import prove_batch
 
+pytestmark = pytest.mark.quick
+
 
 def bn254_tiny_config():
     return CircuitConfig(

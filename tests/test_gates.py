@@ -6,11 +6,14 @@ round schedule (with the FAST_PARTIAL_* derived tables) must agree with the
 naive Poseidon permutation — witness-fill the gate and check (a) outputs
 equal the naive permutation and (b) every constraint evaluates to zero."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.core import gates as G
 from stark_verifier_tpu.core.rings import BaseRing, ExtRing
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import poseidon_gl as pg
+
+pytestmark = pytest.mark.quick
 
 rng = np.random.default_rng(77)
 

@@ -8,6 +8,8 @@ import pytest
 
 from stark_verifier_tpu.ops import gl64_np as gl
 
+pytestmark = pytest.mark.quick
+
 gc = pytest.importorskip("stark_verifier_tpu.ops.gl64_cpu")
 
 P = gl.P

@@ -6,6 +6,8 @@ import pytest
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import gl64_jax as gj
 
+pytestmark = pytest.mark.quick
+
 P = gl.P
 rng = np.random.default_rng(0)
 

@@ -8,11 +8,14 @@ re-derive both sides of a differential test. A transcript-order or constant
 error anywhere in the stack changes every one of these values.
 """
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.core.challenger import Challenger
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import poseidon_bn254 as pb
 from stark_verifier_tpu.ops import poseidon_gl as pg
+
+pytestmark = pytest.mark.quick
 
 # Goldilocks Poseidon (t=12, R_F=8, R_P=22) permutation of [0, 1, ..., 11]
 PERM12_0_11 = [

@@ -1,9 +1,12 @@
 """Merkle tree build + path-to-cap verification roundtrip (np and JAX)."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.core.merkle import MerkleTree, verify_merkle_proof_to_cap
 from stark_verifier_tpu.ops import gl64_jax as gj
 from stark_verifier_tpu.ops import gl64_np as gl
+
+pytestmark = pytest.mark.quick
 
 rng = np.random.default_rng(7)
 

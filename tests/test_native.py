@@ -9,6 +9,8 @@ from stark_verifier_tpu import native
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import poseidon_gl as pg
 
+pytestmark = pytest.mark.quick
+
 if native.lib() is None:
     pytest.skip("native hash plane unavailable (gcc build failed)",
                 allow_module_level=True)

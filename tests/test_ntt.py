@@ -5,6 +5,8 @@ import pytest
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import ntt_np as nt
 
+pytestmark = pytest.mark.quick
+
 rng = np.random.default_rng(3)
 
 

@@ -1,11 +1,14 @@
 """plonky2 serde-JSON proof interchange round-trip (reference ships serde /
 serde_json for exactly this format; reference: Cargo.toml:28-29)."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.core.plonky2_io import proof_from_json, proof_to_json
 from stark_verifier_tpu.core.verifier import verify_proof
 from stark_verifier_tpu.models import flagship as FS
 from stark_verifier_tpu.ops import gl64_np as gl
+
+pytestmark = pytest.mark.quick
 
 
 def test_json_roundtrip_and_verify():

@@ -1,10 +1,13 @@
 """Poseidon permutation / sponge / challenger: numpy golden vs JAX backend."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.ops import gl64_jax as gj
 from stark_verifier_tpu.ops import gl64_np as gl
 from stark_verifier_tpu.ops import poseidon_gl as pg
 from stark_verifier_tpu.core.challenger import Challenger
+
+pytestmark = pytest.mark.quick
 
 rng = np.random.default_rng(42)
 

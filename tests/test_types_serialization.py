@@ -1,10 +1,13 @@
 """Proof fixture (de)serialization roundtrip — the reference leaves serde
 unused (SURVEY §5 checkpoint/resume: none); here it is first-class."""
 import numpy as np
+import pytest
 
 from stark_verifier_tpu.core.types import load_proofs, save_proofs
 from stark_verifier_tpu.core.verifier import verify_proof
 from stark_verifier_tpu.ops import gl64_np as gl
+
+pytestmark = pytest.mark.quick
 
 
 def test_save_load_roundtrip(tmp_path):

@@ -75,7 +75,7 @@ def _mul_gl(alo, ahi, blo, bhi):
     x2c = x2b + c1 + c1b
     c2c = (x2c < x2b).astype(jnp.uint32)
     x3 = h1 + c2 + c2b + c2c
-    return _reduce128(l0, x1b, x2c, x3)
+    return _reduce128(l0, x1b, x2c, x3, canon=False)
 
 
 def _add64(alo, ahi, blo, bhi):
@@ -103,7 +103,11 @@ def _canonical(lo, hi):
     return lo - ge, hi + ge
 
 
-def _reduce128(x0, x1, x2, x3):
+def _reduce128(x0, x1, x2, x3, canon=True):
+    """(x0..x3 columns) mod p as a u64 (lo, hi). canon=False keeps the
+    representative in [0, 2^64) without the final p-subtraction — valid
+    input to every round op (mul/add handle any u64 rep); the kernel
+    canonicalizes once at its output instead of ~500 times per permutation."""
     lo, hi, bo = _sub64(x0, x1, x3, jnp.zeros_like(x3))
     lo, hi, _ = _sub64(lo, hi, bo * _U32MAX, jnp.zeros_like(bo))
     t1lo = _0 - x2
@@ -111,13 +115,20 @@ def _reduce128(x0, x1, x2, x3):
     t1hi = x2 - t1bo
     lo, hi, of = _add64(lo, hi, t1lo, t1hi)
     lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
+    if not canon:
+        return lo, hi
     return _canonical(lo, hi)
 
 
 def _add_gl(alo, ahi, blo, bhi):
+    """a + b mod p on possibly NON-canonical u64 reps: the 2^64 wrap folds
+    as +EPSILON, and with reps up to 2^64-1 the fold itself can wrap once
+    more (gl64_jax.add does the same double correction)."""
     lo, hi, of = _add64(alo, ahi, blo, bhi)
-    lo, hi, _ = _add64(lo, hi, of * _U32MAX, jnp.zeros_like(of))
-    return _canonical(lo, hi)
+    z = jnp.zeros_like(of)
+    lo, hi, of2 = _add64(lo, hi, of * _U32MAX, z)
+    lo, hi, _ = _add64(lo, hi, of2 * _U32MAX, z)
+    return lo, hi
 
 
 _CIRC = np.asarray(MDS_MATRIX_CIRC, np.uint32)
@@ -171,7 +182,7 @@ def _mds_mxu(state_lo, state_hi, mds_f32):
     t3 = (t2 >> _16) + c3
     x1 = (t2 & _LO16) + ((t3 & _LO16) << _16)
     x2 = t3 >> _16
-    return _reduce128(x0, x1, x2, jnp.zeros_like(x2))
+    return _reduce128(x0, x1, x2, jnp.zeros_like(x2), canon=False)
 
 
 def _mds_limb(state_lo, state_hi, roll=jnp.roll):
@@ -200,7 +211,7 @@ def _mds_limb(state_lo, state_hi, roll=jnp.roll):
     t3 = (t2 >> _16) + c3
     x1 = (t2 & _LO16) + ((t3 & _LO16) << _16)
     x2 = t3 >> _16
-    return _reduce128(x0, x1, x2, jnp.zeros_like(x2))
+    return _reduce128(x0, x1, x2, jnp.zeros_like(x2), canon=False)
 
 
 def _sbox7(lo, hi):
@@ -237,7 +248,9 @@ def _permute_planes(lo, hi, rc_lo=None, rc_hi=None, roll=jnp.roll,
         lo, hi = _sbox7(lo, hi)
         lo, hi = mds(lo, hi)
         r += 1
-    return lo, hi
+    # rounds run on non-canonical reps; canonicalize once at the output so
+    # digests/challenges match the golden model bit-for-bit
+    return _canonical(lo, hi)
 
 
 def _kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref, out_hi_ref):
@@ -289,6 +302,8 @@ def _permute_planes_2stream(lo, hi, rc_lo, rc_hi, mds):
         C = rc_sbox(C, r, partial)  # ... while the VPU works on stream C
         A = A_m
         C = mds(*C)
+    A = _canonical(*A)
+    C = _canonical(*C)
     return (jnp.concatenate([A[0], C[0]], axis=1),
             jnp.concatenate([A[1], C[1]], axis=1))
 

@@ -90,3 +90,20 @@ def test_dryrun_multichip_8():
         cwd=repo, env=env, capture_output=True, text=True, timeout=540)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "verified 16 proofs" in proc.stdout
+
+
+def test_zk20_sharded_multichip():
+    """The REAL zk20 workload (zk on, 2^20-member set, 28 queries) verified
+    SPMD over the 8-device virtual mesh, honest + corrupted lane
+    (subprocess: gl64_cpu enables x64 globally)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "zk20_mesh_check.py")],
+        cwd=repo, env=dict(os.environ), capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ZK20_MESH: PASS" in proc.stdout

@@ -1,0 +1,51 @@
+"""The REAL zk20 workload (zero-knowledge, 2^20-member set, 28 queries)
+verified SPMD over an 8-virtual-device CPU mesh with the u64 field backend:
+sharded batch, collective psum accept count + per-shard digest chain.
+Run by tests/test_parallel.py::test_zk20_sharded_multichip."""
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import Mesh
+
+from stark_verifier_tpu.core.types import load_proofs
+from stark_verifier_tpu.models import flagship as FS
+from stark_verifier_tpu.ops import gl64_cpu as gc
+from stark_verifier_tpu.parallel.batch_verify import make_sharded_verifier
+
+proofs, common, vk = load_proofs("fixtures/sem_zk20.npz")
+B = 32
+proofs = proofs[:B]
+assert common.fri_params.hiding
+assert common.config.fri_config.num_query_rounds == 28
+mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+sharding, verify_fn, agg_fn = make_sharded_verifier(common, vk, mesh, F=gc)
+batched = FS.batched_arrays(proofs)
+pa = jax.device_put({k: gc.from_u64(v) for k, v in batched.items()}, sharding)
+t0 = time.time()
+ok = np.asarray(jax.jit(verify_fn)(pa))
+assert ok.shape == (B,) and ok.all()
+digests, count = agg_fn(pa["public_inputs"], ok)
+assert int(np.asarray(count)) == B
+# one corrupted lane must flip exactly that accept bit
+bad = {k: v.copy() for k, v in batched.items()}
+bad["open_wires"][5, 0, 0] ^= 1
+pab = jax.device_put({k: gc.from_u64(v) for k, v in bad.items()}, sharding)
+okb = np.asarray(jax.jit(verify_fn)(pab))
+expect = np.ones(B, bool)
+expect[5] = False
+assert (okb == expect).all()
+print(f"ZK20_MESH: PASS verified {B} zk20 proofs over "
+      f"{len(mesh.devices.reshape(-1))} devices in {time.time()-t0:.1f}s "
+      f"(digest shards {np.asarray(digests.l0).shape})", flush=True)

@@ -33,3 +33,36 @@ def test_two_process_verify():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
         assert f"MULTIHOST_VERIFY[{pid}]: PASS count=16" in out, out[-2000:]
+
+
+def test_four_process_verify():
+    """4 processes x 4 virtual devices (16-device global mesh), same
+    proof-verification payload. Gated: 4 concurrent XLA:CPU compiles on a
+    4-core box."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("SVT_SLOW"):
+        pytest.skip("4 concurrent compiles; set SVT_SLOW=1")
+    port = 29531
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "multihost_smoke.py"),
+             str(pid), "4", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO))
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"MULTIHOST_VERIFY[{pid}]: PASS count=16" in out, out[-2000:]

@@ -19,8 +19,18 @@ from stark_verifier_tpu.semaphore.recursion import (
 )
 
 
+def _zk20_fixture():
+    from pathlib import Path
+
+    fixdir = Path(__file__).resolve().parent.parent / "fixtures"
+    cands = sorted(fixdir.glob("sem_zk20*.npz"),
+                   key=lambda p: p.stat().st_size, reverse=True)
+    assert cands, "no zk20 fixture (tools/gen_zk20_resume.py)"
+    return load_proofs(cands[0])
+
+
 def test_aggregate_pair_at_reference_strength():
-    proofs, common, vk = load_proofs("fixtures/sem_zk20.npz")
+    proofs, common, vk = _zk20_fixture()
     assert common.config.fri_config.num_query_rounds == 28
     assert common.fri_params.hiding
 

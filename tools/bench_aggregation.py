@@ -36,7 +36,9 @@ def main(ns):
         prove_aggregation_level,
     )
 
-    proofs, common, vk = load_proofs(REPO / "fixtures" / "sem_zk20.npz")
+    cands = sorted((REPO / "fixtures").glob("sem_zk20*.npz"),
+                   key=lambda p: p.stat().st_size, reverse=True)
+    proofs, common, vk = load_proofs(cands[0])
     print(f"# zk20 fixture: {len(proofs)} distinct proofs, "
           f"deg 2^{common.degree_bits}, hiding={common.fri_params.hiding}, "
           f"q={common.config.fri_config.num_query_rounds}", flush=True)

@@ -31,8 +31,10 @@ from stark_verifier_tpu.semaphore.recursion import (
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    proofs, common, vk = load_proofs(
-        Path(__file__).resolve().parent.parent / "fixtures" / "sem_zk20.npz")
+    fixdir = Path(__file__).resolve().parent.parent / "fixtures"
+    cands = sorted(fixdir.glob("sem_zk20*.npz"),
+                   key=lambda p: p.stat().st_size, reverse=True)
+    proofs, common, vk = load_proofs(cands[0])
     cfg = recursion_config(common.config.fri_config, zero_knowledge=True)
     t0 = time.time()
     agg = build_aggregation_circuit(common, cfg)

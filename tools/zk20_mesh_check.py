@@ -24,7 +24,11 @@ from stark_verifier_tpu.models import flagship as FS
 from stark_verifier_tpu.ops import gl64_cpu as gc
 from stark_verifier_tpu.parallel.batch_verify import make_sharded_verifier
 
-proofs, common, vk = load_proofs("fixtures/sem_zk20.npz")
+from pathlib import Path
+
+_cands = sorted(Path("fixtures").glob("sem_zk20*.npz"),
+                key=lambda p: p.stat().st_size, reverse=True)
+proofs, common, vk = load_proofs(_cands[0])
 B = 32
 proofs = proofs[:B]
 assert common.fri_params.hiding

@@ -169,3 +169,92 @@ void svt_gl_mul_add(const uint64_t *a, const uint64_t *b, const uint64_t *c,
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) out[i] = gl_add(gl_mul(a[i], b[i]), c[i]);
 }
+
+/* ---- PoseidonGate witness-trace fill (prover hot spot) ----------------
+ *
+ * Computes every wire of one plonky2 PoseidonGate row in GATE-WIRE ORDER
+ * (inputs 0..11, outputs 12..23, swap 24, deltas 25..28, full_sbox_0
+ * 29..64, partial_sbox 65..86, full_sbox_1 87..134) using the fast-partial
+ * round schedule — bit-identical to core/gates.poseidon_witness_fill
+ * (reference wire layout: chip/plonk/gates/poseidon.rs:604-686).
+ * io: uint64[n][135], inputs+swap prefilled; the rest written in place.
+ */
+#define FP_RP 22
+
+static inline uint64_t gl_sub_any(uint64_t a, uint64_t b) {
+    /* a - b mod p for ANY u64 representatives (matches gl64_np.sub) */
+    uint64_t d = a - b;
+    if (a < b) d -= GL_EPS;
+    if (d >= GL_P) d -= GL_P;
+    return d;
+}
+
+static void poseidon_fill_one(uint64_t *w) {
+    uint64_t *in = w;        /* 0..11 */
+    uint64_t *out = w + 12;  /* 12..23 */
+    uint64_t swap = w[24];
+    uint64_t *delta = w + 25;
+    uint64_t *sb0 = w + 29;  /* 3 rounds x 12 */
+    uint64_t *psb = w + 65;  /* 22 */
+    uint64_t *sb1 = w + 87;  /* 4 rounds x 12 */
+
+    uint64_t st[WIDTH];
+    for (int i = 0; i < 4; i++) {
+        delta[i] = gl_mul(swap, gl_sub_any(in[4 + i], in[i]));
+        st[i] = gl_add(in[i], delta[i]);
+        st[4 + i] = gl_sub_any(in[4 + i], delta[i]);
+    }
+    for (int i = 8; i < WIDTH; i++) st[i] = in[i];
+
+    for (int r = 0; r < HALF_FULL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            st[i] = gl_add(st[i], SVT_RC[r * WIDTH + i]);
+        if (r != 0)
+            memcpy(sb0 + (r - 1) * WIDTH, st, sizeof st);
+        for (int i = 0; i < WIDTH; i++) st[i] = gl_sbox7(st[i]);
+        gl_mds12(st);
+    }
+
+    for (int i = 0; i < WIDTH; i++)
+        st[i] = gl_add(st[i], SVT_FP_FIRST[i]);
+    /* partial-layer init: st'[c] = sum_r IM[r-1][c-1] * st[r], st'[0]=st[0] */
+    {
+        uint64_t t[WIDTH];
+        t[0] = st[0];
+        for (int c = 1; c < WIDTH; c++) {
+            __uint128_t acc = 0;
+            for (int r = 1; r < WIDTH; r++)
+                acc += (__uint128_t)gl_mul(SVT_FP_IM[r - 1][c - 1], st[r]);
+            t[c] = gl_reduce128(acc);
+        }
+        memcpy(st, t, sizeof t);
+    }
+
+    const uint64_t M0 = SVT_MDS[0][0]; /* CIRC[0] + DIAG[0] */
+    for (int r = 0; r < FP_RP; r++) {
+        psb[r] = st[0];
+        uint64_t s0 = gl_sbox7(st[0]);
+        if (r < FP_RP - 1) s0 = gl_add(s0, SVT_FP_RC[r]);
+        __uint128_t acc = (__uint128_t)gl_mul(M0, s0);
+        for (int i = 1; i < WIDTH; i++)
+            acc += (__uint128_t)gl_mul(SVT_FP_WH[r][i - 1], st[i]);
+        uint64_t d = gl_reduce128(acc);
+        for (int i = 1; i < WIDTH; i++)
+            st[i] = gl_add(gl_mul(SVT_FP_VS[r][i - 1], s0), st[i]);
+        st[0] = d;
+    }
+
+    for (int r = 0; r < HALF_FULL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            st[i] = gl_add(st[i], SVT_RC[(HALF_FULL + N_PARTIAL + r) * WIDTH + i]);
+        memcpy(sb1 + r * WIDTH, st, sizeof st);
+        for (int i = 0; i < WIDTH; i++) st[i] = gl_sbox7(st[i]);
+        gl_mds12(st);
+    }
+    memcpy(out, st, sizeof st);
+}
+
+void svt_poseidon_fill_batch(uint64_t *io, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t k = 0; k < n; k++) poseidon_fill_one(io + 135 * k);
+}

@@ -668,6 +668,21 @@ def poseidon_witness_fill(F, inputs, swap):
     ins = np.stack([np.broadcast_to(np.asarray(x, np.uint64), shape)
                     for x in inputs])  # [12, *shape]
     sw = np.broadcast_to(np.asarray(swap, np.uint64), shape)
+
+    # native C trace fill: one library call instead of ~220 numpy dispatches
+    # on tiny [B] arrays (the recursion prover's hot spot — 3k chained gate
+    # rows per aggregation circuit); bit-identical, differential-tested in
+    # tests/test_gates.py against both python schedules
+    from .. import native as _native
+
+    if (_native.lib() is not None
+            and hasattr(_native.lib(), "svt_poseidon_fill_batch")):
+        flat = _native.poseidon_fill_np(
+            np.ascontiguousarray(ins.reshape(12, -1)),
+            np.ascontiguousarray(sw.reshape(-1)))
+        wires = {wi: flat[wi].reshape(shape) for wi in range(135)}
+        return wires, [wires[g.wire_output(i)] for i in range(T)]
+
     ex = (slice(None),) + (None,) * len(shape)
 
     wires = {}

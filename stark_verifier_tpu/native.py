@@ -67,6 +67,8 @@ def lib():
             u64p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p]
         L.svt_gl_mul.argtypes = [u64p, u64p, u64p, ctypes.c_int64]
         L.svt_gl_mul_add.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_int64]
+        if hasattr(L, "svt_poseidon_fill_batch"):
+            L.svt_poseidon_fill_batch.argtypes = [u64p, ctypes.c_int64]
         _lib = L
     except Exception:
         _lib = None
@@ -126,6 +128,20 @@ def grind_pow_np(states: np.ndarray, prefixes: np.ndarray,
     L.svt_grind_pow_batch(_ptr(states), _ptr(prefixes), B, k, pow_bits,
                           _ptr(out))
     return out
+
+
+def poseidon_fill_np(inputs: np.ndarray, swap: np.ndarray) -> np.ndarray:
+    """PoseidonGate witness trace: inputs uint64[12, B], swap uint64[B] ->
+    all 135 gate wires uint64[135, B] in gate-wire order (the layout
+    core/gates.PoseidonGate defines; fast-partial schedule)."""
+    L = lib()
+    assert L is not None and hasattr(L, "svt_poseidon_fill_batch")
+    B = inputs.shape[1]
+    buf = np.zeros((B, 135), dtype=np.uint64, order="C")
+    buf[:, 0:12] = inputs.T
+    buf[:, 24] = swap
+    L.svt_poseidon_fill_batch(_ptr(buf), B)
+    return buf.T
 
 
 # ------------------------------------------------------- BN254 bridge plane

@@ -22,6 +22,10 @@ class FriConfig:
     cap_height: int = 4
     proof_of_work_bits: int = 16
     num_query_rounds: int = 28
+    # FriReductionStrategy::ConstantArityBits(arity_bits, final_poly_bits)
+    # (reference: plonky2_config.rs:78-104 pins (1, 5) for every workload)
+    arity_bits: int = 1
+    final_poly_bits: int = 5
 
 
 @dataclass
@@ -69,12 +73,15 @@ class FriParams:
 
 
 def constant_arity_bits(arity_bits: int, final_poly_bits: int, degree_bits: int,
-                        rate_bits: int) -> List[int]:
-    """plonky2 FriReductionStrategy::ConstantArityBits: fold by 2^arity_bits
-    until the polynomial has at most 2^final_poly_bits coefficients."""
+                        rate_bits: int, cap_height: int = 0) -> List[int]:
+    """plonky2 FriReductionStrategy::ConstantArityBits::reduction_arity_bits:
+    fold by 2^arity_bits until the polynomial has at most 2^final_poly_bits
+    coefficients, AND the next layer's LDE domain still has at least
+    cap_height levels (its Merkle tree must be at least cap_height tall)."""
     out = []
     d = degree_bits
-    while d > final_poly_bits and d >= arity_bits:
+    while d > final_poly_bits and d + rate_bits - arity_bits >= cap_height:
+        assert d >= arity_bits
         out.append(arity_bits)
         d -= arity_bits
     return out

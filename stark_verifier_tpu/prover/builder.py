@@ -218,6 +218,45 @@ class CircuitBuilder:
         for i in range(4):
             self.connect(state[i], root4[i])
 
+    # ------------------------------------------------------------- blinding
+    def num_blinding_gates(self) -> Tuple[int, int]:
+        """plonky2 `CircuitBuilder::num_blinding_gates`: how many polynomial
+        values each FRI proof reveals per wire polynomial (regular) and per
+        Z polynomial — every revealed value must be masked by a random row
+        for zero-knowledge. Computed, as plonky2 does, from the PRE-blinding
+        gate count (single pass, no fixed point): per query one initial
+        evaluation plus D base elements per fold coset point, plus the full
+        final polynomial, plus the openings at zeta (D) resp. zeta and
+        g*zeta (2D). D = 2 (the quadratic extension)."""
+        D = 2
+        fc = self.config.fri_config
+        n = len(self.gate_rows)
+        degree_bits = 0 if n <= 1 else (n - 1).bit_length()  # log2_ceil
+        rbits = constant_arity_bits(fc.arity_bits, fc.final_poly_bits,
+                                    degree_bits, fc.rate_bits, fc.cap_height)
+        total_fri_folding_points = sum((1 << a) - 1 for a in rbits)
+        final_poly_coeffs = (1 << degree_bits) >> sum(rbits)
+        fri_openings = (fc.num_query_rounds * (1 + D * total_fri_folding_points)
+                        + D * final_poly_coeffs)
+        regular_poly_openings = fri_openings + D
+        z_openings = fri_openings + 2 * D
+        return regular_poly_openings, z_openings
+
+    def _blind(self):
+        """plonky2 `CircuitBuilder::blind`: one all-random NoopGate row per
+        regular-poly opening; for each Z-poly opening a PAIR of rows whose
+        routed wires carry the same random values and are copy-constrained
+        together (the pair enters the permutation argument, blinding Z)."""
+        regular_poly_openings, z_openings = self.num_blinding_gates()
+        for _ in range(regular_poly_openings):
+            self.blind_rows.append(self.add_gate(G.NoopGate(), []))
+        for _ in range(z_openings):
+            r1 = self.add_gate(G.NoopGate(), [])
+            r2 = self.add_gate(G.NoopGate(), [])
+            for w in range(self.config.num_routed_wires):
+                self.connect(("w", r1, w), ("w", r2, w))
+            self.blind_pairs.append((r1, r2))
+
     # --------------------------------------------------------------- build
     def build(self) -> "CircuitData":
         cfg = self.config
@@ -253,14 +292,16 @@ class CircuitBuilder:
 
         self.generators.append(gen_pi)
 
-        # zero-knowledge: unconstrained rows whose wires are filled with
-        # fresh randomness per proof, blinding the wire-polynomial openings
-        # (plonky2-style; combined with salted oracle leaves in the prover)
-        blind_rows = []
+        # zero-knowledge: plonky2's exact `blind_and_pad` accounting —
+        # `num_blinding_gates()` random rows (singles for the wire polys,
+        # copy-constrained pairs for the Z polys), then pad to a power of
+        # two. This is what sets the true circuit height of the reference's
+        # zk workloads (reference: plonky2_semaphore/access_set.rs:68-84;
+        # plonky2 circuit_builder.rs blind/blind_and_pad).
+        self.blind_rows = []
+        self.blind_pairs = []
         if cfg.zero_knowledge:
-            for _ in range(4):
-                blind_rows.append(self.add_gate(G.NoopGate(), []))
-        self.blind_rows = blind_rows
+            self._blind()
 
         # pad rows to a power of two (and to any requested minimum degree,
         # e.g. to emulate the row count of a zk-blinded circuit)
@@ -375,7 +416,9 @@ class CircuitBuilder:
             config=fri_cfg,
             hiding=cfg.zero_knowledge,
             degree_bits=degree_bits,
-            reduction_arity_bits=constant_arity_bits(1, 5, degree_bits, fri_cfg.rate_bits),
+            reduction_arity_bits=constant_arity_bits(
+                fri_cfg.arity_bits, fri_cfg.final_poly_bits, degree_bits,
+                fri_cfg.rate_bits, fri_cfg.cap_height),
         )
 
         common = CommonData(
@@ -467,11 +510,25 @@ class CircuitData:
             if t[0] == "w":
                 _, row, col = t
                 W[col, row] = v
-        # zk: randomize the blinding rows' wires (unconstrained noop rows)
+        # zk: randomize the blinding rows' wires (unconstrained noop rows).
+        # Pair rows (Z-poly blinding) carry IDENTICAL random values on the
+        # routed wires — they are copy-constrained together — and
+        # independent randomness elsewhere (plonky2 circuit_builder.rs blind).
         rng = np.random.default_rng()
+        nw = W.shape[0]
+        nr_routed = self.common.config.num_routed_wires
         for row in getattr(self.builder, "blind_rows", []):
             W[:, row, :] = rng.integers(
-                0, 0xFFFFFFFF00000001, size=(W.shape[0], batch), dtype=np.uint64)
+                0, 0xFFFFFFFF00000001, size=(nw, batch), dtype=np.uint64)
+        for r1, r2 in getattr(self.builder, "blind_pairs", []):
+            routed = rng.integers(
+                0, 0xFFFFFFFF00000001, size=(nr_routed, batch), dtype=np.uint64)
+            W[:nr_routed, r1, :] = routed
+            W[:nr_routed, r2, :] = routed
+            W[nr_routed:, r1, :] = rng.integers(
+                0, 0xFFFFFFFF00000001, size=(nw - nr_routed, batch), dtype=np.uint64)
+            W[nr_routed:, r2, :] = rng.integers(
+                0, 0xFFFFFFFF00000001, size=(nw - nr_routed, batch), dtype=np.uint64)
         pis = np.stack([store.get(t) for t in self.builder.public_inputs]) if self.builder.public_inputs else np.zeros((0, batch), np.uint64)
         return W, pis
 

@@ -162,11 +162,19 @@ def prove_batch(data: CircuitData, inputs: Dict, batch: int,
         quot = gl.ones((B, n))
         for c in range(num_chunks):
             quot = gl.mul(quot, gl.mul(num_prod[c], den_inv[c]))
-        # Z(w^0)=1, Z(w^{j+1}) = Z(w^j) * quot(w^j)
+        # Z(w^0)=1, Z(w^{j+1}) = Z(w^j) * quot(w^j): exclusive prefix
+        # product over rows, vectorized as a Hillis-Steele log-doubling
+        # scan (log2(n) batched muls instead of n sequential ones — this
+        # was the prover's last O(n) python loop at the deg-2^14
+        # aggregation shapes).
+        pp = quot.copy()
+        d = 1
+        while d < n:
+            pp[:, d:] = gl.mul(pp[:, d:], pp[:, :-d])
+            d <<= 1
         Z = np.empty((B, n), np.uint64)
         Z[:, 0] = 1
-        for j in range(1, n):
-            Z[:, j] = gl.mul(Z[:, j - 1], quot[:, j - 1])
+        Z[:, 1:] = pp[:, :-1]
         zs_pp_values.append(Z)
         # partial products: accs between chunk applications (per row)
         acc = Z

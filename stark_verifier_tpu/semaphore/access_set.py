@@ -51,6 +51,46 @@ def semaphore_config() -> CircuitConfig:
     )
 
 
+def build_semaphore_circuit(config: CircuitConfig, tree_height: int,
+                            min_degree: int = 0):
+    """Build the Semaphore membership circuit for a 2^tree_height-member
+    set (reference: plonky2_semaphore/circuit.rs:25-65). The circuit shape
+    depends only on tree_height, not on the access-set contents, so KAT
+    tests can pin the plonky2-exact build accounting (degree after
+    blind-and-pad, selector groups, k_is, digest) without materializing a
+    2^20-leaf tree. Returns (CircuitData, targets dict)."""
+    b = CircuitBuilder(config)
+    b.min_degree = min_degree
+    merkle_root = b.add_virtual_hash()
+    b.register_public_inputs(merkle_root)
+    nullifier = b.add_virtual_hash()
+    b.register_public_inputs(nullifier)
+    topic = b.add_virtual_targets(4)
+    b.register_public_inputs(topic)
+
+    private_key = b.add_virtual_targets(4)
+    index = b.add_virtual_target()
+    index_bits = b.split_le(index, tree_height)
+    zero = b.zero()
+    siblings = [b.add_virtual_hash() for _ in range(tree_height)]
+    b.verify_merkle_proof_to_cap_root(
+        private_key + [zero] * 4, index_bits, merkle_root, siblings
+    )
+    should_be_nullifier = b.hash_n_to_hash_no_pad(private_key + topic)
+    for i in range(4):
+        b.connect(nullifier[i], should_be_nullifier[i])
+
+    targets = dict(
+        merkle_root=merkle_root,
+        nullifier=nullifier,
+        topic=topic,
+        private_key=private_key,
+        index=index,
+        siblings=siblings,
+    )
+    return b.build(), targets
+
+
 class AccessSet:
     def __init__(self, public_keys: np.ndarray, config: CircuitConfig = None,
                  min_degree: int = 0):
@@ -84,36 +124,9 @@ class AccessSet:
     def circuit(self) -> CircuitData:
         if self._circuit is not None:
             return self._circuit
-        b = CircuitBuilder(self.config)
-        b.min_degree = self.min_degree
-        merkle_root = b.add_virtual_hash()
-        b.register_public_inputs(merkle_root)
-        nullifier = b.add_virtual_hash()
-        b.register_public_inputs(nullifier)
-        topic = b.add_virtual_targets(4)
-        b.register_public_inputs(topic)
-
-        private_key = b.add_virtual_targets(4)
-        index = b.add_virtual_target()
-        index_bits = b.split_le(index, self.tree_height)
-        zero = b.zero()
-        siblings = [b.add_virtual_hash() for _ in range(self.tree_height)]
-        b.verify_merkle_proof_to_cap_root(
-            private_key + [zero] * 4, index_bits, merkle_root, siblings
+        self._circuit, self._targets = build_semaphore_circuit(
+            self.config, self.tree_height, min_degree=self.min_degree
         )
-        should_be_nullifier = b.hash_n_to_hash_no_pad(private_key + topic)
-        for i in range(4):
-            b.connect(nullifier[i], should_be_nullifier[i])
-
-        self._targets = dict(
-            merkle_root=merkle_root,
-            nullifier=nullifier,
-            topic=topic,
-            private_key=private_key,
-            index=index,
-            siblings=siblings,
-        )
-        self._circuit = b.build()
         return self._circuit
 
     # --------------------------------------------------------------- prove

@@ -35,7 +35,7 @@ def _load_workload():
         key=lambda p: p.stat().st_size, reverse=True)
     if preset == "auto":
         # headline zk-2^20 workload only when a fixture has been generated
-        # offline (tools/gen_zk20_resume.py — host proving of 1024 distinct
+        # offline (tools/gen_zk20_fixture.py — host proving of 1024 distinct
         # zk proofs is hour-scale); otherwise the full non-zk preset, which
         # regenerates quickly from a cold fixture state.
         preset = "zk20" if zk20_fixtures else "full"

@@ -82,15 +82,12 @@ static inline void fr_mont_mul(fr *out, const fr *a, const fr *b) {
         t[4] = t[5] + (u64)(c >> 64);
         t[5] = 0;
     }
+    /* CONTRACT: a, b < q (canonical). CIOS then guarantees the pre-
+     * reduction result < 2q, so t[4] == 0 and one conditional subtract
+     * canonicalizes. (A former t[4] overflow branch was unreachable for
+     * canonical inputs — and dropped a borrow — so it was removed; the
+     * exported entry points document and enforce the contract.) */
     fr co = {{t[0], t[1], t[2], t[3]}};
-    if (t[4]) { /* value >= 2^256 > q: subtract q once */
-        u128 bor = 0;
-        for (int i = 0; i < 4; i++) {
-            u128 d = (u128)co.l[i] - BN_Q[i] - bor;
-            co.l[i] = (u64)d;
-            bor = (d >> 64) & 1;
-        }
-    }
     fr_cond_sub_q(&co);
     *out = co;
 }
@@ -212,7 +209,11 @@ void svt_bridge_permute_batch(u64 *state, int64_t n) {
 }
 
 /* t=5 Fr permutation on canonical (non-Montgomery) 4-limb states
- * [n][5][4], in place — for differential tests against the python model. */
+ * [n][5][4], in place — for differential tests against the python model.
+ *
+ * INPUT CONTRACT: fr_mont_mul requires operands < q; raw 256-bit inputs
+ * are canonicalized on entry (at most 4 conditional subtracts: 2^256 < 5q)
+ * so callers may pass any 4-limb value. */
 void svt_bn254_permute_fr_batch(u64 *state, int64_t n) {
 #pragma omp parallel for schedule(static)
     for (int64_t k = 0; k < n; k++) {
@@ -222,6 +223,7 @@ void svt_bn254_permute_fr_batch(u64 *state, int64_t n) {
         for (int i = 0; i < BN_T; i++) {
             fr e;
             memcpy(e.l, s + 4 * i, 32);
+            for (int r = 0; r < 4; r++) fr_cond_sub_q(&e);
             fr_mont_mul(&st[i], &e, &r2);
         }
         bn_permute_mont(st);

@@ -16,6 +16,7 @@
  */
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 #include "poseidon_constants.h"
@@ -257,4 +258,93 @@ static void poseidon_fill_one(uint64_t *w) {
 void svt_poseidon_fill_batch(uint64_t *io, int64_t n) {
 #pragma omp parallel for schedule(static)
     for (int64_t k = 0; k < n; k++) poseidon_fill_one(io + 135 * k);
+}
+
+/* ================= batched radix-2 NTT (prover FFT plane) =================
+ *
+ * In-place DIT NTT along the last axis of data[nb][n], bit-exact with the
+ * numpy golden (ops/ntt_np.py): bit-reversal permutation, then stages
+ * s = 0..log2(n)-1 with half-size m = 2^s and twiddles w_{2m}^k. The
+ * batch rows are independent -> OpenMP across rows. Replaces the prover's
+ * dominant host cost for fixture generation and recursive aggregation
+ * (reference workload: plonky2_semaphore/recursion.rs proving).
+ */
+
+static inline uint64_t gl_pow(uint64_t a, uint64_t e) {
+    uint64_t r = 1;
+    while (e) {
+        if (e & 1) r = gl_mul(r, a);
+        a = gl_mul(a, a);
+        e >>= 1;
+    }
+    return r;
+}
+
+/* data: [nb][n] uint64 in place; w_n: primitive n-th root of unity. */
+void svt_ntt_batch(uint64_t *data, int64_t nb, int64_t n, uint64_t w_n) {
+    int bits = __builtin_ctzll((unsigned long long)n);
+    /* per-stage twiddle tables, total n-1 entries */
+    uint64_t *tws = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)n);
+    uint64_t *p = tws;
+    for (int s = 0; s < bits; s++) {
+        int64_t m = 1ll << s;
+        uint64_t wm = gl_pow(w_n, (uint64_t)(n / (2 * m)));
+        uint64_t acc = 1;
+        for (int64_t k = 0; k < m; k++) {
+            p[k] = acc;
+            acc = gl_mul(acc, wm);
+        }
+        p += m;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        uint64_t *v = data + b * n;
+        for (int64_t i = 1, j = 0; i < n; i++) {
+            int64_t bit = n >> 1;
+            for (; j & bit; bit >>= 1) j ^= bit;
+            j ^= bit;
+            if (i < j) {
+                uint64_t t = v[i];
+                v[i] = v[j];
+                v[j] = t;
+            }
+        }
+        const uint64_t *pp = tws;
+        for (int s = 0; s < bits; s++) {
+            int64_t m = 1ll << s;
+            for (int64_t blk = 0; blk < n; blk += 2 * m) {
+                for (int64_t k = 0; k < m; k++) {
+                    uint64_t a = v[blk + k];
+                    uint64_t t = gl_mul(v[blk + m + k], pp[k]);
+                    v[blk + k] = gl_add(a, t);
+                    v[blk + m + k] = gl_sub_any(a, t);
+                }
+            }
+            pp += m;
+        }
+    }
+    free(tws);
+}
+
+/* coeffs[nb][n] -> out[nb][n_lde] on the coset shift*H: scale by shift^i,
+ * zero-pad, forward NTT (bit-exact with ntt_np.coset_lde). */
+void svt_coset_lde_batch(const uint64_t *coeffs, int64_t nb, int64_t n,
+                         int rate_bits, uint64_t shift, uint64_t w_lde,
+                         uint64_t *out) {
+    int64_t n_lde = n << rate_bits;
+    uint64_t *powers = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)n);
+    uint64_t acc = 1;
+    for (int64_t i = 0; i < n; i++) {
+        powers[i] = acc;
+        acc = gl_mul(acc, shift);
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const uint64_t *src = coeffs + b * n;
+        uint64_t *dst = out + b * n_lde;
+        for (int64_t i = 0; i < n; i++) dst[i] = gl_mul(src[i], powers[i]);
+        for (int64_t i = n; i < n_lde; i++) dst[i] = 0;
+    }
+    free(powers);
+    svt_ntt_batch(out, nb, n_lde, w_lde);
 }

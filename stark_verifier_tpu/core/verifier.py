@@ -24,6 +24,7 @@ from .rings import ExtRing
 from .types import CommonData, Proof
 
 GENERATOR = 7  # multiplicative group generator of Goldilocks
+P = 0xFFFFFFFF00000001
 ORDER = 0xFFFFFFFF00000000  # p - 1
 
 
@@ -475,29 +476,83 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
         return _fri_final(F, common, pa, prev_eval, x, ok)
     cur_bits = bits
     for li, arity_bits in enumerate(fp.reduction_arity_bits):
-        assert arity_bits == 1, "arity-2 folds (ConstantArityBits(1, k)); wider arities TODO"
-        evals = pa[f"step_evals_{li}"]  # [Q, 2, 2]
-        b0 = cur_bits[0]
-        mask = b0 != 0 if not _is_bool(b0) else b0
-        e_0 = (_col(F, _col_axis(F, evals, 0, axis=-2), 0), _col(F, _col_axis(F, evals, 0, axis=-2), 1))
-        e_1 = (_col(F, _col_axis(F, evals, 1, axis=-2), 0), _col(F, _col_axis(F, evals, 1, axis=-2), 1))
-        at_idx = ext2.select(F, mask, e_1, e_0)
+        arity = 1 << arity_bits
+        evals = pa[f"step_evals_{li}"]  # [Q, arity, 2]
+        e = [
+            (_col(F, _col_axis(F, evals, j, axis=-2), 0),
+             _col(F, _col_axis(F, evals, j, axis=-2), 1))
+            for j in range(arity)
+        ]
+        idx_bits = cur_bits[:arity_bits]  # LE: x_index_within_coset
+        masks = [b != 0 if not _is_bool(b) else b for b in idx_bits]
+
+        # consistency: evals[x_index_within_coset] == prev_eval
+        # (binary select tree over the LE index bits)
+        sel = e
+        for m in masks:
+            sel = [ext2.select(F, m, sel[2 * k + 1], sel[2 * k])
+                   for k in range(len(sel) // 2)]
+        at_idx = sel[0]
         ok = ok & _all(ext2.equal(F, prev_eval, at_idx))
 
-        # interpolate {(coset_start * g^j, eval_j)} at beta; arity 2: g = -1
-        coset_start = F.select(mask, F.neg(x), x)  # x * (-1)^b0
-        a0 = (coset_start, F.zeros(_shape(x)))
-        b0p = (F.neg(coset_start), F.zeros(_shape(x)))
         beta = _broadcast_ext(F, ch.fri_betas[li], _shape(x))
-        num = ext2.mul(F, ext2.sub(F, beta, a0), ext2.sub(F, e_1, e_0))
-        den = ext2.sub(F, b0p, a0)
-        prev_eval = ext2.add(F, ext2.div(F, num, den), e_0)
+        if arity_bits == 1:
+            # 2-point interpolation at beta; g = -1
+            e_0, e_1 = e
+            coset_start = F.select(masks[0], F.neg(x), x)  # x * (-1)^b0
+            a0 = (coset_start, F.zeros(_shape(x)))
+            b0p = (F.neg(coset_start), F.zeros(_shape(x)))
+            num = ext2.mul(F, ext2.sub(F, beta, a0), ext2.sub(F, e_1, e_0))
+            den = ext2.sub(F, b0p, a0)
+            prev_eval = ext2.add(F, ext2.div(F, num, den), e_0)
+        else:
+            # general arity (exceeds the reference — its fri_chip.rs:211
+            # TODO): interpolate {(coset_start * g^i, eval_rev[i])} at beta,
+            # plonky2 compute_evaluation semantics. coset_start =
+            # x * g^{-rev(idx)}; evals reordered by in-coset bit reversal.
+            g = primitive_root(arity_bits)
+            g_inv = pow(g, P - 2, P)
+            coset_start = x
+            for j in range(arity_bits):
+                # rev(idx) bit j is idx_bits[arity_bits - 1 - j]
+                c = F.const(pow(g_inv, 1 << j, P), _shape(x))
+                coset_start = F.select(masks[arity_bits - 1 - j],
+                                       F.mul(coset_start, c), coset_start)
+            ev = [e[int(f"{i:0{arity_bits}b}"[::-1], 2)] for i in range(arity)]
+            # barycentric closed form on the multiplicative coset:
+            #   prod_j (beta - cs*g^j)      = beta^arity - cs^arity
+            #   prod_{j!=i} (cs*g^i - cs*g^j) = arity * cs^(arity-1) * g^{-i}
+            # => I(beta) = (beta^arity - cs^arity) / (arity * cs^(arity-1))
+            #              * sum_i ev[i] * g^i / (beta - cs*g^i)
+            cs_ext = (coset_start, F.zeros(_shape(x)))
+            cs_pow = ext2.pow_const(F, cs_ext, arity, _shape(x))
+            beta_pow = ext2.pow_const(F, beta, arity, _shape(x))
+            front = ext2.div(
+                F,
+                ext2.sub(F, beta_pow, cs_pow),
+                ext2.mul(
+                    F,
+                    (F.const(arity, _shape(x)), F.zeros(_shape(x))),
+                    ext2.pow_const(F, cs_ext, arity - 1, _shape(x)),
+                ),
+            )
+            total = ext2.zero(F, _shape(x))
+            for i in range(arity):
+                gi = F.const(pow(g, i, P), _shape(x))
+                x_i = (F.mul(coset_start, gi), F.zeros(_shape(x)))
+                term = ext2.div(
+                    F,
+                    ext2.mul(F, ev[i], (gi, F.zeros(_shape(x)))),
+                    ext2.sub(F, beta, x_i),
+                )
+                total = ext2.add(F, total, term)
+            prev_eval = ext2.mul(F, front, total)
 
         # merkle proof of the coset leaf against commit-phase cap li
-        coset_bits = cur_bits[1:]
+        coset_bits = cur_bits[arity_bits:]
         d_i = len(coset_bits) - cap_height
         sibs = pa[f"step_sibs_{li}"]  # [Q, d_i, 4]
-        leaf = [e_0[0], e_0[1], e_1[0], e_1[1]]
+        leaf = [c for ej in e for c in ej]  # flattened stored order
         siblings = [
             [_col(F, _col_axis(F, sibs, d, axis=-2), i) for i in range(4)]
             for d in range(d_i)
@@ -507,7 +562,8 @@ def verify_fri(F, common: CommonData, ch, pa, vk_cap, reduced_openings, zeta, ze
                                          cap_li, cap_index, permute=perm)
         ok = ok & _all(res)
 
-        x = F.mul(x, x)
+        for _ in range(arity_bits):
+            x = F.mul(x, x)
         cur_bits = coset_bits
 
     return _fri_final(F, common, pa, prev_eval, x, ok)

@@ -50,8 +50,12 @@ def lib():
     if os.environ.get("SVT_NATIVE", "1") != "1":
         return None
     try:
-        if (not _SO.exists()
-                or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+        # staleness: the .so embeds the generated constants header too — a
+        # regenerated header with an unchanged .c must also trigger a rebuild
+        src_mtime = _SRC.stat().st_mtime
+        if _HDR.exists():
+            src_mtime = max(src_mtime, _HDR.stat().st_mtime)
+        if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
             if not _build():
                 return None
         L = ctypes.CDLL(str(_SO))
@@ -69,6 +73,12 @@ def lib():
         L.svt_gl_mul_add.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_int64]
         if hasattr(L, "svt_poseidon_fill_batch"):
             L.svt_poseidon_fill_batch.argtypes = [u64p, ctypes.c_int64]
+        if hasattr(L, "svt_ntt_batch"):
+            L.svt_ntt_batch.argtypes = [
+                u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64]
+            L.svt_coset_lde_batch.argtypes = [
+                u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_uint64, ctypes.c_uint64, u64p]
         _lib = L
     except Exception:
         _lib = None
@@ -130,6 +140,30 @@ def grind_pow_np(states: np.ndarray, prefixes: np.ndarray,
     return out
 
 
+def ntt_np_inplace(flat: np.ndarray, w_n: int) -> None:
+    """Batched radix-2 NTT along the last axis of a C-contiguous
+    uint64[nb, n] array, in place. w_n = primitive n-th root of unity.
+    Bit-exact with ops/ntt_np.ntt."""
+    L = lib()
+    assert L is not None and hasattr(L, "svt_ntt_batch")
+    assert flat.flags["C_CONTIGUOUS"] and flat.dtype == np.uint64
+    L.svt_ntt_batch(_ptr(flat), flat.shape[0], flat.shape[1], np.uint64(w_n))
+
+
+def coset_lde_np(coeffs: np.ndarray, rate_bits: int, shift: int,
+                 w_lde: int) -> np.ndarray:
+    """uint64[nb, n] coeffs -> uint64[nb, n << rate_bits] evals on shift*H.
+    Bit-exact with ops/ntt_np.coset_lde."""
+    L = lib()
+    assert L is not None and hasattr(L, "svt_coset_lde_batch")
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    nb, n = coeffs.shape
+    out = np.empty((nb, n << rate_bits), dtype=np.uint64)
+    L.svt_coset_lde_batch(_ptr(coeffs), nb, n, rate_bits,
+                          np.uint64(shift), np.uint64(w_lde), _ptr(out))
+    return out
+
+
 def poseidon_fill_np(inputs: np.ndarray, swap: np.ndarray) -> np.ndarray:
     """PoseidonGate witness trace: inputs uint64[12, B], swap uint64[B] ->
     all 135 gate wires uint64[135, B] in gate-wire order (the layout
@@ -168,8 +202,9 @@ def bn254_lib():
                 capture_output=True)
             if r.returncode != 0:
                 return None
+        bn_src_mtime = max(_BN_SRC.stat().st_mtime, _BN_HDR.stat().st_mtime)
         if (not _BN_SO.exists()
-                or _BN_SO.stat().st_mtime < _BN_SRC.stat().st_mtime):
+                or _BN_SO.stat().st_mtime < bn_src_mtime):
             cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-shared",
                    "-fPIC", str(_BN_SRC), "-o", str(_BN_SO)]
             r = subprocess.run(cmd, capture_output=True)

@@ -36,10 +36,28 @@ def _twiddles(n_bits: int) -> np.ndarray:
     return _twiddle_cache[key]
 
 
+def _native_lib(n: int):
+    """The native C NTT plane, when available and worth the copy (the
+    per-row python overhead dominates below ~2^6 points)."""
+    if n < 64:
+        return None
+    from .. import native
+
+    L = native.lib()
+    return L if (L is not None and hasattr(L, "svt_ntt_batch")) else None
+
+
 def ntt(coeffs: np.ndarray) -> np.ndarray:
     """Batched NTT along the last axis: [..., n] coeffs -> [..., n] evals."""
     n = coeffs.shape[-1]
     bits = log2_strict(n)
+    if _native_lib(n) is not None:
+        from .. import native
+
+        flat = np.array(coeffs.reshape(-1, n), dtype=np.uint64, copy=True,
+                        order="C")
+        native.ntt_np_inplace(flat, gl.primitive_root_of_unity(bits))
+        return flat.reshape(coeffs.shape)
     perm = reverse_index_bits_perm(n)
     v = np.take(coeffs, perm, axis=-1).copy()
     stages = _twiddles(bits)
@@ -96,4 +114,13 @@ def lde(coeffs: np.ndarray, rate_bits: int) -> np.ndarray:
 
 
 def coset_lde(coeffs: np.ndarray, rate_bits: int, shift: int) -> np.ndarray:
+    n = coeffs.shape[-1]
+    n_lde = n << rate_bits
+    if _native_lib(n_lde) is not None:
+        from .. import native
+
+        out = native.coset_lde_np(
+            coeffs.reshape(-1, n), rate_bits, shift,
+            gl.primitive_root_of_unity(log2_strict(n_lde)))
+        return out.reshape(coeffs.shape[:-1] + (n_lde,))
     return coset_fft(lde(coeffs, rate_bits), shift)

@@ -35,6 +35,15 @@ from ..utils.bits import log2_strict, reverse_index_bits
 Target = Tuple
 
 
+class WitnessConflict(AssertionError):
+    """Two copy-constrained targets received different witness values —
+    the circuit is unsatisfiable for these inputs (plonky2's
+    PartitionWitness panics the same way, e.g. when an invalid child proof
+    is fed to an in-circuit verifier). Subclasses AssertionError for
+    backward compatibility, but is raised explicitly (not via `assert`) so
+    the documented reject-path behavior survives `python -O`."""
+
+
 class WitnessStore:
     """target -> uint64 array [batch]."""
 
@@ -500,7 +509,7 @@ class CircuitData:
                 va = vals.get(a)
                 vb = vals.get(b)
                 if va is not None and vb is not None and not np.array_equal(va, vb):
-                    raise AssertionError(
+                    raise WitnessConflict(
                         f"copy constraint violated in witness: {a} != {b} "
                         "(unsatisfiable circuit inputs — e.g. an invalid child "
                         "proof fed to an in-circuit verifier)")

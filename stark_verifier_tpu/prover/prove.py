@@ -560,7 +560,11 @@ def _compute_quotient(data, W, wire_lde, zs_pp_lde, pi_hash, betas, gammas, alph
         q_coeffs = ntt.coset_ifft(quotient_vals, SHIFT)  # [B, lde_n]
         # degree < qdf*n: split into qdf chunks of n
         tail = q_coeffs[:, qdf * n :]
-        assert (tail == 0).all(), "quotient degree overflow — constraints unsatisfied?"
+        if not (tail == 0).all():  # explicit: must survive `python -O`
+            from .builder import WitnessConflict
+
+            raise WitnessConflict(
+                "quotient degree overflow — constraints unsatisfied?")
         for c in range(qdf):
             out[i * qdf + c] = q_coeffs[:, c * n : (c + 1) * n]
     return out

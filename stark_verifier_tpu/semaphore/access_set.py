@@ -189,9 +189,11 @@ class AccessSet:
         out of scope per BASELINE.json).
 
         Returns False instead of raising on an invalid signal: the wrapper
-        prover surfaces an unsatisfiable child as a witness copy-constraint
-        conflict (plonky2 PartitionWitness parity)."""
+        prover surfaces an unsatisfiable child as a WitnessConflict
+        (plonky2 PartitionWitness parity; a dedicated exception raised
+        explicitly, so the reject path survives `python -O`)."""
         from ..core.verifier import verify_proof
+        from ..prover.builder import WitnessConflict
         from .recursion import build_wrapper_circuit
 
         data = self.circuit()
@@ -203,7 +205,7 @@ class AccessSet:
             self._wrapper = build_wrapper_circuit(data.common, hasher="bn254")
         try:
             wrapped = self._wrapper.prove([signal.proof], data.vk)[0]
-        except AssertionError:
+        except WitnessConflict:
             return False
         if not (wrapped.public_inputs == signal.proof.public_inputs).all():
             return False

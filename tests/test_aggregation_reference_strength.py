@@ -25,7 +25,7 @@ def _zk20_fixture():
     fixdir = Path(__file__).resolve().parent.parent / "fixtures"
     cands = sorted(fixdir.glob("sem_zk20*.npz"),
                    key=lambda p: p.stat().st_size, reverse=True)
-    assert cands, "no zk20 fixture (tools/gen_zk20_resume.py)"
+    assert cands, "no zk20 fixture (tools/gen_zk20_fixture.py)"
     return load_proofs(cands[0])
 
 

@@ -26,8 +26,12 @@ itself is tested against.  Agreement here therefore transitively anchors:
     and the challenger/Merkle stack, which are differential-tested against
     `poseidon_gl.permute` elsewhere (tests/test_poseidon.py, test_kats.py).
 
-Inputs are u64 and fed noncanonically (plonky2 `from_noncanonical_u64`):
-the all-`u64::MAX` vector exercises inputs >= p.
+plonky2 publishes a third vector (all-`u64::MAX` input, fed via
+`from_noncanonical_u64`); its expected output is not pinned here (only
+these two literals were recorded), so noncanonical-input handling is
+instead exercised self-consistently below: raw u64 representatives >= p are
+fed to every backend that accepts them (JAX planes, Pallas kernel, native
+C) and must agree with the golden model on the canonicalized input.
 """
 import numpy as np
 import pytest
@@ -125,3 +129,47 @@ def test_external_anchor_native_c(ins, expected):
         pytest.skip("native C plane not built")
     out = native.permute12_np(_canon(ins)[:, None])
     assert [int(x) for x in out[:, 0]] == expected
+
+
+NONCANONICAL_INPUTS = [
+    [0xFFFFFFFFFFFFFFFF] * 12,          # u64::MAX (plonky2's third vector's input)
+    [P + i for i in range(12)],         # just above p
+    [0xFFFFFFFF00000001 + 7, 2**64 - 2, P, 0, 1, P + 5, 2**63, P - 1,
+     0xDEADBEEFDEADBEEF, P + 0xFFFFFFFF, 3, 2**64 - 1],
+]
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("raw", NONCANONICAL_INPUTS)
+def test_noncanonical_inputs_all_backends(raw):
+    """Backends that accept raw u64 representatives >= p must canonicalize:
+    feeding the raw values gives the same permutation as feeding x mod p to
+    the golden model (plonky2 from_noncanonical_u64 semantics)."""
+    raw = np.array([x & 0xFFFFFFFFFFFFFFFF for x in raw], dtype=np.uint64)
+    golden = np.asarray(
+        gl.unstack(pg.permute(gl, gl.stack(list(_canon(raw)))))
+    ).ravel()
+
+    from stark_verifier_tpu.ops import gl64_jax as gj
+
+    out_jax = gj.to_u64(pg.permute(gj, gj.from_u64(raw[:, None])))
+    assert (np.asarray(out_jax)[:, 0] == golden).all()
+
+    from stark_verifier_tpu.ops.pallas.poseidon_kernel import (
+        poseidon_permute_batch,
+    )
+
+    c = raw[:, None]
+    lo = (c & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (c >> np.uint64(32)).astype(np.uint32)
+    olo, ohi = poseidon_permute_batch(lo, hi, interpret=True)
+    out_pl = np.asarray(olo).astype(np.uint64) | (
+        np.asarray(ohi).astype(np.uint64) << np.uint64(32)
+    )
+    assert (out_pl[:, 0] == golden).all()
+
+    from stark_verifier_tpu import native
+
+    if native.lib() is not None:
+        out_c = native.permute12_np(raw[:, None].copy())
+        assert (out_c[:, 0] == golden).all()

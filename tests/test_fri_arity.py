@@ -1,0 +1,88 @@
+"""FRI folds with arity > 2.
+
+The reference only supports arity-2 folds (its fri_chip.rs:211 TODO); this
+framework generalizes `next_eval` to any ConstantArityBits(a, k): evals are
+reordered by in-coset bit reversal, coset_start = x * g^{-rev(idx)}, and the
+interpolation at beta uses the multiplicative-coset barycentric closed form
+(plonky2 compute_evaluation semantics). Roundtrip + negative tests at
+arity 4 and mixed shapes, on both the numpy golden and the jitted JAX path.
+"""
+import copy
+
+import numpy as np
+import pytest
+
+from stark_verifier_tpu.core.types import CircuitConfig, FriConfig
+from stark_verifier_tpu.core.verifier import verify_proof
+from stark_verifier_tpu.ops import gl64_np as gl
+from stark_verifier_tpu.prover.builder import CircuitBuilder
+from stark_verifier_tpu.prover.prove import prove_batch
+
+def _build_and_prove(arity_bits, final_poly_bits, min_degree=256, batch=3,
+                     cap_height=1):
+    cfg = CircuitConfig(
+        fri_config=FriConfig(rate_bits=3, cap_height=cap_height,
+                             proof_of_work_bits=8, num_query_rounds=6,
+                             arity_bits=arity_bits,
+                             final_poly_bits=final_poly_bits)
+    )
+    b = CircuitBuilder(cfg)
+    xs = b.add_virtual_targets(4)
+    acc = b.mul(xs[0], xs[1])
+    acc = b.arithmetic(3, 5, acc, xs[2], xs[3])
+    b.register_public_inputs(xs)
+    b.register_public_input(acc)
+    b.min_degree = min_degree
+    data = b.build()
+    rng = np.random.default_rng(11)
+    inputs = {t: rng.integers(0, gl.P, size=batch, dtype=np.uint64) for t in xs}
+    return data, prove_batch(data, inputs, batch)
+
+
+@pytest.mark.quick
+def test_arity4_roundtrip_and_negatives():
+    data, proofs = _build_and_prove(arity_bits=2, final_poly_bits=3)
+    assert data.common.fri_params.reduction_arity_bits == [2, 2, 2]
+    for p in proofs:
+        assert verify_proof(gl, data.common, data.vk, p)
+
+    bad = copy.deepcopy(proofs[0])
+    bad.opening_proof.query_rounds.step_evals[0][0, 1, 0] ^= np.uint64(1)
+    assert not verify_proof(gl, data.common, data.vk, bad)
+
+    bad = copy.deepcopy(proofs[0])
+    bad.opening_proof.query_rounds.step_siblings[1][0, 0, 2] ^= np.uint64(1)
+    assert not verify_proof(gl, data.common, data.vk, bad)
+
+    bad = copy.deepcopy(proofs[0])
+    bad.opening_proof.final_poly[0, 0] ^= np.uint64(1)
+    assert not verify_proof(gl, data.common, data.vk, bad)
+
+
+@pytest.mark.quick
+def test_arity8_roundtrip():
+    data, proofs = _build_and_prove(arity_bits=3, final_poly_bits=2,
+                                    min_degree=256)
+    assert all(a == 3 for a in data.common.fri_params.reduction_arity_bits)
+    for p in proofs:
+        assert verify_proof(gl, data.common, data.vk, p)
+
+
+def test_arity4_jax_jitted_batch():
+    import jax
+
+    from stark_verifier_tpu.models.flagship import batched_arrays, make_verifier_fn
+
+    data, proofs = _build_and_prove(arity_bits=2, final_poly_bits=3, batch=4,
+                                    min_degree=64)
+    fn, to_gf = make_verifier_fn(data.common, data.vk)
+    pa = to_gf(batched_arrays([p for p in proofs]))
+    ok = np.asarray(jax.device_get(fn(pa)))
+    assert ok.all()
+
+    # corrupt one lane: only that lane flips
+    bad = copy.deepcopy(proofs)
+    bad[2].opening_proof.query_rounds.step_evals[1][3, 2, 1] ^= np.uint64(1)
+    pa = to_gf(batched_arrays(bad))
+    ok = np.asarray(jax.device_get(fn(pa)))
+    assert list(ok) == [True, True, False, True]

@@ -15,7 +15,7 @@ def _zk20_fixture():
     cands = sorted(FIXDIR.glob("sem_zk20*.npz"),
                    key=lambda p: p.stat().st_size, reverse=True)
     if not cands:
-        pytest.skip("no zk20 fixture (tools/gen_zk20_resume.py)")
+        pytest.skip("no zk20 fixture (tools/gen_zk20_fixture.py)")
     return cands[0]
 
 

@@ -96,14 +96,14 @@ static void poseidon12(uint64_t *s) {
 
 /* states: [n, 12] row-major, in-place. */
 void svt_permute_batch(uint64_t *states, int64_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(n >= 8)
     for (int64_t i = 0; i < n; i++) poseidon12(states + (size_t)WIDTH * i);
 }
 
 /* plonky2 hash_n_to_m_no_pad, m=4: in [n, w] -> out [n, 4]. */
 void svt_hash_no_pad_batch(const uint64_t *in, int64_t n, int64_t w,
                            uint64_t *out) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(n >= 8)
     for (int64_t i = 0; i < n; i++) {
         uint64_t s[WIDTH] = {0};
         const uint64_t *row = in + (size_t)w * i;
@@ -119,7 +119,7 @@ void svt_hash_no_pad_batch(const uint64_t *in, int64_t n, int64_t w,
 /* Merkle 8->4 compression over one level: in [m, 8] (left||right digests)
  * -> out [m, 4] (reference: chip/merkle_proof_chip.rs:58-70). */
 void svt_merkle_level(const uint64_t *in, int64_t m, uint64_t *out) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(m >= 8)
     for (int64_t i = 0; i < m; i++) {
         uint64_t s[WIDTH] = {0};
         memcpy(s, in + 8 * i, 8 * sizeof(uint64_t));
@@ -149,7 +149,7 @@ uint64_t svt_grind_pow(const uint64_t *state12, const uint64_t *prefix,
 void svt_grind_pow_batch(const uint64_t *states, const uint64_t *prefixes,
                          int64_t B, int64_t k, int32_t pow_bits,
                          uint64_t *out) {
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel for schedule(dynamic) if(B > 1)
     for (int64_t b = 0; b < B; b++)
         out[b] = svt_grind_pow(states + (size_t)WIDTH * b,
                                prefixes + (size_t)k * b, k, pow_bits, 0);
@@ -160,14 +160,14 @@ void svt_grind_pow_batch(const uint64_t *states, const uint64_t *prefixes,
  * mul; this is one fused pass (gl64_np.mul routes arrays here). */
 void svt_gl_mul(const uint64_t *a, const uint64_t *b, uint64_t *out,
                 int64_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(n >= 4096)
     for (int64_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
 }
 
 /* out = a * b + c mod p (canonical inputs). */
 void svt_gl_mul_add(const uint64_t *a, const uint64_t *b, const uint64_t *c,
                     uint64_t *out, int64_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(n >= 4096)
     for (int64_t i = 0; i < n; i++) out[i] = gl_add(gl_mul(a[i], b[i]), c[i]);
 }
 
@@ -256,7 +256,7 @@ static void poseidon_fill_one(uint64_t *w) {
 }
 
 void svt_poseidon_fill_batch(uint64_t *io, int64_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(n >= 4)
     for (int64_t k = 0; k < n; k++) poseidon_fill_one(io + 135 * k);
 }
 
@@ -296,7 +296,7 @@ void svt_ntt_batch(uint64_t *data, int64_t nb, int64_t n, uint64_t w_n) {
         }
         p += m;
     }
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(nb > 1)
     for (int64_t b = 0; b < nb; b++) {
         uint64_t *v = data + b * n;
         for (int64_t i = 1, j = 0; i < n; i++) {
@@ -338,7 +338,7 @@ void svt_coset_lde_batch(const uint64_t *coeffs, int64_t nb, int64_t n,
         powers[i] = acc;
         acc = gl_mul(acc, shift);
     }
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if(nb > 1)
     for (int64_t b = 0; b < nb; b++) {
         const uint64_t *src = coeffs + b * n;
         uint64_t *dst = out + b * n_lde;

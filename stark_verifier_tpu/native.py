@@ -31,13 +31,18 @@ def _build() -> bool:
             capture_output=True)
         if r.returncode != 0:
             return False
+    # build to a temp path then rename: a process that already mmapped the
+    # old .so keeps its mapping (in-place truncation would SIGBUS it)
+    tmp = _SO.with_suffix(".so.tmp")
     cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_SO)]
+           str(_SRC), "-o", str(tmp)]
     r = subprocess.run(cmd, capture_output=True)
     if r.returncode != 0:
         # retry without OpenMP (portability fallback)
-        cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
+        cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
         r = subprocess.run(cmd, capture_output=True)
+    if r.returncode == 0:
+        os.replace(tmp, _SO)
     return r.returncode == 0
 
 
@@ -205,15 +210,17 @@ def bn254_lib():
         bn_src_mtime = max(_BN_SRC.stat().st_mtime, _BN_HDR.stat().st_mtime)
         if (not _BN_SO.exists()
                 or _BN_SO.stat().st_mtime < bn_src_mtime):
+            tmp = _BN_SO.with_suffix(".so.tmp")
             cmd = ["gcc", "-O3", "-march=native", "-fopenmp", "-shared",
-                   "-fPIC", str(_BN_SRC), "-o", str(_BN_SO)]
+                   "-fPIC", str(_BN_SRC), "-o", str(tmp)]
             r = subprocess.run(cmd, capture_output=True)
             if r.returncode != 0:
                 cmd = ["gcc", "-O3", "-shared", "-fPIC", str(_BN_SRC),
-                       "-o", str(_BN_SO)]
+                       "-o", str(tmp)]
                 r = subprocess.run(cmd, capture_output=True)
             if r.returncode != 0:
                 return None
+            os.replace(tmp, _BN_SO)
         L = ctypes.CDLL(str(_BN_SO))
         u64p = ctypes.POINTER(ctypes.c_uint64)
         L.svt_bridge_permute_batch.argtypes = [u64p, ctypes.c_int64]

@@ -23,6 +23,8 @@ import numpy as np
 from ..ops import gl64_np as gl
 from ..ops import ntt_np
 
+_jit_coset_lde = None
+
 
 def _scaled_pad(coeffs: np.ndarray, rate_bits: int, shift: int) -> np.ndarray:
     """Zero-pad to the LDE length and fold the coset shift into the
@@ -53,9 +55,11 @@ def coset_lde(coeffs: np.ndarray, rate_bits: int, shift: int,
     from ..ops import ntt_jax as ntj
 
     if backend == "jax":
+        global _jit_coset_lde
+        if _jit_coset_lde is None:
+            _jit_coset_lde = jax.jit(ntj.coset_lde, static_argnums=(1, 2))
         x = gj.from_u64(coeffs)
-        out = jax.jit(ntj.coset_lde, static_argnums=(1, 2))(
-            x, rate_bits, shift)
+        out = _jit_coset_lde(x, rate_bits, shift)
         return gj.to_u64(out)
     if backend == "mesh":
         from jax.sharding import NamedSharding, PartitionSpec as P

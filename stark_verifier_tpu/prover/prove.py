@@ -46,16 +46,45 @@ def _observe_cap_batch(ch: Challenger, cap: np.ndarray):
                 ch.observe_element(cap[:, r, i])
 
 
-def _poly_eval_ext(coeffs: np.ndarray, point):
-    """coeffs [P, n] u64, point ext ([B],[B]) -> ([P,B],[P,B]) ext."""
-    P_, n = coeffs.shape
+def _ext_powers(point, n: int):
+    """z^0..z^{n-1} for ext z = ([B],[B]) -> ([B,n],[B,n]), log-doubling:
+    [1] -> [1,z] -> [1,z,z^2,z^3] -> ... (log2(n) batched ext muls instead
+    of n sequential ones)."""
     B = point[0].shape[0]
-    acc = (np.zeros((P_, B), np.uint64), np.zeros((P_, B), np.uint64))
-    pt = (point[0][None, :], point[1][None, :])
-    for k in range(n - 1, -1, -1):
-        acc = ext2.mul(gl, acc, pt)
-        acc = (gl.add(acc[0], coeffs[:, k, None]), acc[1])
-    return acc
+    pw = (np.ones((B, 1), np.uint64), np.zeros((B, 1), np.uint64))
+    cur = point  # z^(current width)
+    while pw[0].shape[1] < n:
+        blk = ext2.mul(gl, pw, (cur[0][:, None], cur[1][:, None]))
+        pw = (np.concatenate([pw[0], blk[0]], axis=1),
+              np.concatenate([pw[1], blk[1]], axis=1))
+        cur = ext2.square(gl, cur)
+    return (pw[0][:, :n], pw[1][:, :n])
+
+
+def _gl_sum_last(x: np.ndarray) -> np.ndarray:
+    """Modular sum along the last axis by halving folds (log2(n) gl.adds)."""
+    while x.shape[-1] > 1:
+        if x.shape[-1] % 2:
+            last, x = x[..., -1], x[..., :-1]
+        else:
+            last = None
+        x = gl.add(x[..., 0::2], x[..., 1::2])
+        if last is not None:
+            x = x.copy()
+            x[..., 0] = gl.add(x[..., 0], last)
+    return x[..., 0]
+
+
+def _poly_eval_ext(coeffs: np.ndarray, point):
+    """coeffs [P, n] u64, point ext ([B],[B]) -> ([P,B],[P,B]) ext.
+
+    sum_k c_k z^k with the power table vectorized over k (coeffs are
+    base-field, so the two ext coordinates are independent dot products)."""
+    zp = _ext_powers(point, coeffs.shape[-1])  # [B, n]
+    return (
+        _gl_sum_last(gl.mul(coeffs[:, None, :], zp[0][None])),
+        _gl_sum_last(gl.mul(coeffs[:, None, :], zp[1][None])),
+    )
 
 
 def _ext_fft_batch(coeffs_ext, shift: int):
@@ -392,13 +421,11 @@ def _poly_eval_shared(coeffs, point):
 
 def _poly_eval_batched(coeffs, point):
     """coeffs [P, B, n], point ext ([B],[B]) -> ([P,B],[P,B])."""
-    P_, B, n = coeffs.shape
-    acc = (np.zeros((P_, B), np.uint64), np.zeros((P_, B), np.uint64))
-    pt = (point[0][None, :], point[1][None, :])
-    for k in range(n - 1, -1, -1):
-        acc = ext2.mul(gl, acc, pt)
-        acc = (gl.add(acc[0], coeffs[:, :, k]), acc[1])
-    return acc
+    zp = _ext_powers(point, coeffs.shape[-1])  # [B, n]
+    return (
+        _gl_sum_last(gl.mul(coeffs, zp[0][None])),
+        _gl_sum_last(gl.mul(coeffs, zp[1][None])),
+    )
 
 
 def _alpha_combine(coeffs, alpha):
@@ -413,10 +440,36 @@ def _alpha_combine(coeffs, alpha):
 
 
 def _deep_quotient(comp, point):
-    """(comp(X) - comp(z)) / (X - z) by synthetic division.
+    """(comp(X) - comp(z)) / (X - z): [B, n] ext coeffs -> [B, n] ext
+    coeffs (top coefficient zero).
 
-    comp: [B, n] ext coeffs; point: ([B],[B]). Returns [B, n] ext coeffs
-    (top coefficient zero)."""
+    The synthetic-division recurrence q_{k-1} = c_k + z*q_k closes to
+    q_{k-1} = z^{-k} * S_k with S_k = sum_{m>=k} c_m z^m, so it vectorizes
+    as power table + suffix-sum (Hillis-Steele log-doubling) + power table
+    of z^{-1} — log2(n) batched ops instead of n sequential ones."""
+    B, n = comp[0].shape
+    if bool(((point[0] == 0) & (point[1] == 0)).any()):
+        return _deep_quotient_horner(comp, point)  # z=0: q_k = c_{k+1}... shiftable, but keep the exact loop
+    zp = _ext_powers(point, n)
+    t = ext2.mul(gl, comp, zp)  # t_m = c_m z^m
+    s0, s1 = t[0].copy(), t[1].copy()
+    d = 1
+    while d < n:
+        s0[:, :-d] = gl.add(s0[:, :-d], s0[:, d:])
+        s1[:, :-d] = gl.add(s1[:, :-d], s1[:, d:])
+        d <<= 1
+    zinv = ext2.inv(gl, point)
+    zip_ = _ext_powers(zinv, n)  # zinv^0..zinv^{n-1}
+    q = ext2.mul(gl, (s0[:, 1:], s1[:, 1:]), (zip_[0][:, 1:], zip_[1][:, 1:]))
+    q0 = np.zeros((B, n), np.uint64)
+    q1 = np.zeros((B, n), np.uint64)
+    q0[:, : n - 1] = q[0]
+    q1[:, : n - 1] = q[1]
+    return (q0, q1)
+
+
+def _deep_quotient_horner(comp, point):
+    """Sequential synthetic division (golden model / z=0 fallback)."""
     B, n = comp[0].shape
     q0 = np.zeros((B, n), np.uint64)
     q1 = np.zeros((B, n), np.uint64)

@@ -2,15 +2,24 @@
 plane (wires / zs+partial-products / quotient oracles all commit to an LDE;
 see prove.py). Three backends:
 
-  np   — host numpy (default; fine for small fixture circuits)
-  jax  — single-device `ops/ntt_jax.coset_lde` (TPU-accelerated proving)
+  np   — host numpy riding the native C NTT plane (native/svt_poseidon.c,
+         OpenMP over rows) — the DEFAULT, chosen by measurement
+  jax  — single-device `ops/ntt_jax.coset_lde` (TPU limb-plane NTT)
   mesh — transform axis partitioned over the device mesh with
          `ops/ntt_jax.ntt_4step` (all_to_all butterfly exchange over ICI)
 
-`mesh` is the TPU-framework replacement for the reference's rayon
-proof-generation fan-out (reference: plonky2_semaphore/recursion.rs:300-308;
-SURVEY §2.3 / BASELINE config 5): one batched prover whose long-axis FFT
-rides the mesh, instead of N independent single-threaded provers.
+Backend choice is data-driven (tools/bench_lde_backends.py,
+.bank/lde_bench.jsonl, round 4): on the exact aggregation shapes
+([1080, 2^14] wires etc.) the native C plane sustains 4-10 Mpoints/s on a
+4-core host while the TPU jax path manages 0.4-1.2 Mpoints/s — a radix-2
+NTT is 14-17 sequential stages of element shuffles with no matmul for the
+MXU, the 4x16-bit limb emulation multiplies the VPU op count, and every
+call pays host<->device transfer of the full oracle plus a multi-minute
+per-shape XLA compile (the axon compile cache does not persist). The TPU's
+win on this workload is the VERIFIER (bench.py); proving stays
+host-resident. `mesh` remains the multi-host scaling story for transforms
+that exceed one host's memory (SURVEY §2.3 / BASELINE config 5), not a
+single-host speedup.
 
 Selected per-call or via SVT_PROVER_LDE.
 """

@@ -52,6 +52,10 @@ def run_backend(backend: str):
 
     import jax
 
+    if backend == "mesh":
+        # this environment pins jax_platforms to "axon,cpu" regardless of
+        # JAX_PLATFORMS; the virtual 8-device mesh only exists on cpu
+        jax.config.update("jax_platforms", "cpu")
     plat = jax.devices()[0].platform
     ndev = len(jax.devices())
     rng = np.random.default_rng(7)

@@ -260,6 +260,104 @@ void svt_poseidon_fill_batch(uint64_t *io, int64_t n) {
     for (int64_t k = 0; k < n; k++) poseidon_fill_one(io + 135 * k);
 }
 
+/* ---- PoseidonGate constraint evaluation (prover quotient hot spot) ----
+ *
+ * Pointwise evaluation of all 123 PoseidonGate constraints over the LDE
+ * coset (base field), bit-exact with the generic-ring schedule in
+ * core/gates.PoseidonGate.eval_unfiltered over the numpy BaseRing
+ * (reference constraint set: chip/plonk/gates/poseidon.rs:173-276).
+ * The prover's quotient pass was dominated by ~2,600 Goldilocks muls per
+ * point dispatched as whole-array numpy ops; one C pass is compute-bound
+ * at ~5 muls/ns/core instead.
+ *
+ * wires: [135][n] plane-major in gate-wire order (inputs 0..11, outputs
+ * 12..23, swap 24, deltas 25..28, full_sbox_0 29..64, partial_sbox 65..86,
+ * full_sbox_1 87..134); out: [123][n] plane-major in constraint order.
+ */
+void svt_poseidon_eval_batch(const uint64_t *wires, int64_t n,
+                             uint64_t *out) {
+#pragma omp parallel for schedule(static) if(n >= 4096)
+    for (int64_t j = 0; j < n; j++) {
+        uint64_t w[135];
+        for (int i = 0; i < 135; i++) w[i] = wires[(size_t)i * n + j];
+        const uint64_t *in = w;
+        const uint64_t *wout = w + 12;
+        uint64_t swap = w[24];
+        const uint64_t *delta = w + 25;
+        const uint64_t *sb0 = w + 29;
+        const uint64_t *psb = w + 65;
+        const uint64_t *sb1 = w + 87;
+        uint64_t o[123];
+        int oc = 0;
+
+        o[oc++] = gl_sub_any(gl_mul(swap, swap), swap);
+        uint64_t st[WIDTH];
+        for (int i = 0; i < 4; i++) {
+            uint64_t diff = gl_sub_any(in[4 + i], in[i]);
+            o[oc++] = gl_sub_any(gl_mul(swap, diff), delta[i]);
+            st[i] = gl_add(in[i], delta[i]);
+            st[4 + i] = gl_sub_any(in[4 + i], delta[i]);
+        }
+        for (int i = 8; i < WIDTH; i++) st[i] = in[i];
+
+        for (int r = 0; r < HALF_FULL; r++) {
+            for (int i = 0; i < WIDTH; i++)
+                st[i] = gl_add(st[i], SVT_RC[r * WIDTH + i]);
+            if (r != 0)
+                for (int i = 0; i < WIDTH; i++) {
+                    o[oc++] = gl_sub_any(st[i], sb0[(r - 1) * WIDTH + i]);
+                    st[i] = sb0[(r - 1) * WIDTH + i];
+                }
+            for (int i = 0; i < WIDTH; i++) st[i] = gl_sbox7(st[i]);
+            gl_mds12(st);
+        }
+
+        for (int i = 0; i < WIDTH; i++)
+            st[i] = gl_add(st[i], SVT_FP_FIRST[i]);
+        {
+            uint64_t t[WIDTH];
+            t[0] = st[0];
+            for (int c = 1; c < WIDTH; c++) {
+                __uint128_t acc = 0;
+                for (int r = 1; r < WIDTH; r++)
+                    acc += (__uint128_t)gl_mul(SVT_FP_IM[r - 1][c - 1], st[r]);
+                t[c] = gl_reduce128(acc);
+            }
+            memcpy(st, t, sizeof t);
+        }
+
+        const uint64_t M0 = SVT_MDS[0][0]; /* CIRC[0] + DIAG[0] */
+        for (int r = 0; r < FP_RP; r++) {
+            o[oc++] = gl_sub_any(st[0], psb[r]);
+            uint64_t s0 = gl_sbox7(psb[r]);
+            if (r < FP_RP - 1) s0 = gl_add(s0, SVT_FP_RC[r]);
+            __uint128_t acc = (__uint128_t)gl_mul(M0, s0);
+            for (int i = 1; i < WIDTH; i++)
+                acc += (__uint128_t)gl_mul(SVT_FP_WH[r][i - 1], st[i]);
+            uint64_t d = gl_reduce128(acc);
+            for (int i = 1; i < WIDTH; i++)
+                st[i] = gl_add(gl_mul(SVT_FP_VS[r][i - 1], s0), st[i]);
+            st[0] = d;
+        }
+
+        for (int r = 0; r < HALF_FULL; r++) {
+            for (int i = 0; i < WIDTH; i++)
+                st[i] = gl_add(st[i],
+                               SVT_RC[(HALF_FULL + N_PARTIAL + r) * WIDTH + i]);
+            for (int i = 0; i < WIDTH; i++) {
+                o[oc++] = gl_sub_any(st[i], sb1[r * WIDTH + i]);
+                st[i] = sb1[r * WIDTH + i];
+            }
+            for (int i = 0; i < WIDTH; i++) st[i] = gl_sbox7(st[i]);
+            gl_mds12(st);
+        }
+        for (int i = 0; i < WIDTH; i++)
+            o[oc++] = gl_sub_any(st[i], wout[i]);
+
+        for (int i = 0; i < 123; i++) out[(size_t)i * n + j] = o[i];
+    }
+}
+
 /* ================= batched radix-2 NTT (prover FFT plane) =================
  *
  * In-place DIT NTT along the last axis of data[nb][n], bit-exact with the

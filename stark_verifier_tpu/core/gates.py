@@ -526,6 +526,9 @@ class PoseidonGate(Gate):
     def eval_unfiltered(self, R, C, W, pi):
         if _is_jax_ext_ring(R):
             return _poseidon_eval_vectorized(self, R, W)
+        native_out = _poseidon_eval_native(R, W)
+        if native_out is not None:
+            return native_out
         out = []
         swap = W[self.WIRE_SWAP]
         out.append(R.sub(R.mul(swap, swap), swap))
@@ -815,6 +818,35 @@ def _is_jax_ext_ring(R):
     from .rings import ExtRing
 
     return isinstance(R, ExtRing) and getattr(R.F, "IS_JAX", False)
+
+
+def _poseidon_eval_native(R, W):
+    """Native-C fast path for PoseidonGate.eval_unfiltered over the numpy
+    BaseRing (the prover's quotient pass on the LDE coset): one library
+    call instead of ~2,600 whole-array numpy ops. Returns None when the
+    ring/backend doesn't qualify; bit-exactness vs the generic schedule is
+    pinned in tests/test_gates.py."""
+    import numpy as np
+
+    from .rings import BaseRing
+
+    if not (isinstance(R, BaseRing)
+            and getattr(R.F, "__name__", "").endswith("gl64_np")):
+        return None
+    from .. import native as _native
+
+    if _native.lib() is None or not hasattr(
+            _native.lib(), "svt_poseidon_eval_batch"):
+        return None
+    shape = R.shape
+    n = int(np.prod(shape)) if shape else 1
+    if n < 1024:
+        return None  # tiny evals: numpy dispatch is cheaper than the copy
+    wires = np.stack([
+        np.broadcast_to(np.asarray(w, np.uint64), shape) for w in W[:135]
+    ]).reshape(135, n)
+    out = _native.poseidon_eval_np(wires)
+    return [out[i].reshape(shape) for i in range(123)]
 
 
 def _se_stack(F, ext_list):

@@ -37,21 +37,49 @@ class MerkleTree:
         level = self._hash_leaves(leaves)  # [..., n, 4]
         self.levels = [level]
         for _ in range(self.depth):
-            left = level[..., 0::2, :]
-            right = level[..., 1::2, :]
-            out = pg.two_to_one(
-                gnp,
-                [left[..., i] for i in range(4)],
-                [right[..., i] for i in range(4)],
-                shape=left.shape[:-1],
-                permute=self.permute,
-            )
-            level = np.stack(out, axis=-1)
+            level = self._compress_level(level)
             self.levels.append(level)
         self.cap = level  # [..., 2^cap_height, 4]
 
+    def _native(self):
+        """The C hash plane, when it applies to this tree's hash config."""
+        if self.permute is not pg.permute:
+            return None  # e.g. the BN254 bridge permutation
+        from .. import native
+
+        L = native.lib()
+        return native if L is not None else None
+
+    def _compress_level(self, level: np.ndarray) -> np.ndarray:
+        """One 8->4 compression level: [..., 2m, 4] -> [..., m, 4]."""
+        nat = self._native()
+        if nat is not None:
+            # adjacent digest pairs stay adjacent under the flatten (each
+            # tree's row count is even), so one C pass covers all trees
+            flat = np.ascontiguousarray(level.reshape(-1, 4))
+            out = nat.merkle_level_np(flat)
+            return out.reshape(level.shape[:-2] + (level.shape[-2] // 2, 4))
+        left = level[..., 0::2, :]
+        right = level[..., 1::2, :]
+        out = pg.two_to_one(
+            gnp,
+            [left[..., i] for i in range(4)],
+            [right[..., i] for i in range(4)],
+            shape=left.shape[:-1],
+            permute=self.permute,
+        )
+        return np.stack(out, axis=-1)
+
     def _hash_leaves(self, leaves: np.ndarray) -> np.ndarray:
         w = leaves.shape[-1]
+        nat = self._native()
+        if nat is not None and w > 4:
+            # whole rate-8 overwrite sponge in one C pass — the chunked
+            # permute path below pays 2 full-state transposition copies per
+            # rate chunk (17 chunks for a 135-wire leaf)
+            flat = np.ascontiguousarray(leaves.reshape(-1, w))
+            out = nat.hash_no_pad_np(flat)
+            return out.reshape(leaves.shape[:-1] + (4,))
         cols = [leaves[..., i] for i in range(w)]
         out = pg.hash_or_noop(gnp, cols, shape=leaves.shape[:-1],
                               permute=self.permute)

@@ -78,6 +78,8 @@ def lib():
         L.svt_gl_mul_add.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_int64]
         if hasattr(L, "svt_poseidon_fill_batch"):
             L.svt_poseidon_fill_batch.argtypes = [u64p, ctypes.c_int64]
+        if hasattr(L, "svt_poseidon_eval_batch"):
+            L.svt_poseidon_eval_batch.argtypes = [u64p, ctypes.c_int64, u64p]
         if hasattr(L, "svt_ntt_batch"):
             L.svt_ntt_batch.argtypes = [
                 u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64]
@@ -181,6 +183,19 @@ def poseidon_fill_np(inputs: np.ndarray, swap: np.ndarray) -> np.ndarray:
     buf[:, 24] = swap
     L.svt_poseidon_fill_batch(_ptr(buf), B)
     return buf.T
+
+
+def poseidon_eval_np(wires: np.ndarray) -> np.ndarray:
+    """All 123 PoseidonGate constraints evaluated pointwise on the base
+    field: wires uint64[135, n] (gate-wire order) -> uint64[123, n]
+    (constraint order of core/gates.PoseidonGate.eval_unfiltered)."""
+    L = lib()
+    assert L is not None and hasattr(L, "svt_poseidon_eval_batch")
+    wires = np.ascontiguousarray(wires, dtype=np.uint64)
+    n = wires.shape[1]
+    out = np.empty((123, n), dtype=np.uint64)
+    L.svt_poseidon_eval_batch(_ptr(wires), n, _ptr(out))
+    return out
 
 
 # ------------------------------------------------------- BN254 bridge plane

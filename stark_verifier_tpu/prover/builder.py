@@ -34,6 +34,8 @@ from ..utils.bits import log2_strict, reverse_index_bits
 # Targets: ("w", row, col) wire targets / ("v", idx) virtual targets.
 Target = Tuple
 
+_U64 = np.dtype(np.uint64)
+
 
 class WitnessConflict(AssertionError):
     """Two copy-constrained targets received different witness values —
@@ -52,6 +54,13 @@ class WitnessStore:
         self.vals: Dict[Target, np.ndarray] = {}
 
     def set(self, t: Target, v):
+        # fast path: generators overwhelmingly store ready-made [batch]
+        # uint64 arrays — skip the asarray/broadcast dispatch (~8 us each
+        # across ~1M calls per aggregation witness)
+        if (type(v) is np.ndarray and v.dtype == _U64
+                and v.shape == (self.batch,)):
+            self.vals[t] = v
+            return
         v = np.broadcast_to(np.asarray(v, dtype=np.uint64), (self.batch,))
         self.vals[t] = v
 

@@ -69,6 +69,13 @@ def test_arity8_roundtrip():
 
 
 def test_arity4_jax_jitted_batch():
+    """Full-verifier jit at arity 4 (vmap path — unrolled graph, ~5-10 min
+    trace+compile on XLA:CPU; the ungated numpy tests above run the SAME
+    backend-generic fold code, so this only adds jit-compilability)."""
+    import os
+
+    if not os.environ.get("SVT_SLOW"):
+        pytest.skip("~10 min XLA:CPU trace+compile; set SVT_SLOW=1")
     import jax
 
     from stark_verifier_tpu.models.flagship import batched_arrays, make_verifier_fn

@@ -50,6 +50,38 @@ def test_poseidon_gate_constraints_vanish_on_valid_witness():
         assert c == 0, f"constraint {j} != 0"
 
 
+def test_poseidon_gate_native_eval_bit_exact():
+    """The native-C constraint evaluator (svt_poseidon_eval_batch) must be
+    bit-exact with the generic-ring schedule on random points AND vanish on
+    a valid witness trace (reference constraint set:
+    chip/plonk/gates/poseidon.rs:173-276)."""
+    from stark_verifier_tpu import native as nat
+
+    if nat.lib() is None or not hasattr(nat.lib(), "svt_poseidon_eval_batch"):
+        pytest.skip("native plane unavailable")
+    gate = G.PoseidonGate()
+    n = 2048  # >= the native-dispatch threshold in _poseidon_eval_native
+    W = [rng.integers(0, gl.P, n, dtype=np.uint64) for _ in range(135)]
+    R = BaseRing(gl, (n,))
+    saved = G._poseidon_eval_native
+    try:
+        G._poseidon_eval_native = lambda R, W: None
+        ref = gate.eval_unfiltered(R, [], W, None)
+    finally:
+        G._poseidon_eval_native = saved
+    fast = gate.eval_unfiltered(R, [], W, None)
+    assert len(ref) == len(fast) == gate.num_constraints
+    for j, (a, b) in enumerate(zip(ref, fast)):
+        assert np.array_equal(a, b), f"constraint {j} mismatch"
+
+    ins = [rng.integers(0, gl.P, n, dtype=np.uint64) for _ in range(12)]
+    swap = rng.integers(0, 2, n, dtype=np.uint64)
+    wires_map, _ = G.poseidon_witness_fill(gl, ins, swap)
+    W2 = [wires_map[i] for i in range(135)]
+    for j, c in enumerate(gate.eval_unfiltered(R, [], W2, None)):
+        assert not c.any(), f"constraint {j} nonzero on valid witness"
+
+
 def test_gate_registry_reference_ids():
     """Every gate-id string the reference dispatches on must resolve
     (reference: gates/mod.rs:138-203)."""

@@ -136,3 +136,25 @@ def test_bn254_bridge_native_matches_jax_kernel():
     want = gj.to_u64(jax.jit(fr.permute12_bridge)(gj.from_u64(xs)))
     got = native.bridge_permute12_np(xs)
     assert (got == want).all()
+
+
+def test_merkle_tree_native_planes_bit_exact():
+    """MerkleTree's native leaf-sponge + level-compression fast paths must
+    reproduce the chunked python-permute build level by level (incl. the
+    w<=4 hash_or_noop case and batched trees)."""
+    from stark_verifier_tpu.core.merkle import MerkleTree
+
+    for shape, cap in [((64, 135), 0), ((128, 7), 2), ((4, 256, 20), 3),
+                       ((32, 4), 1), ((16, 3), 0)]:
+        leaves = rng.integers(0, gl.P, shape, dtype=np.uint64)
+        t_fast = MerkleTree(leaves, cap_height=cap)
+        saved = MerkleTree._native
+        try:
+            MerkleTree._native = lambda self: None
+            t_ref = MerkleTree(leaves, cap_height=cap)
+        finally:
+            MerkleTree._native = saved
+        assert len(t_fast.levels) == len(t_ref.levels)
+        for a, b in zip(t_fast.levels, t_ref.levels):
+            assert np.array_equal(a, b), (shape, cap)
+        assert np.array_equal(t_fast.cap, t_ref.cap)

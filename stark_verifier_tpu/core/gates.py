@@ -842,10 +842,15 @@ def _poseidon_eval_native(R, W):
     n = int(np.prod(shape)) if shape else 1
     if n < 1024:
         return None  # tiny evals: numpy dispatch is cheaper than the copy
-    wires = np.stack([
-        np.broadcast_to(np.asarray(w, np.uint64), shape) for w in W[:135]
-    ]).reshape(135, n)
-    out = _native.poseidon_eval_np(wires)
+    if hasattr(_native.lib(), "svt_poseidon_eval_batch_p"):
+        out = _native.poseidon_eval_planes_np(
+            [np.broadcast_to(np.asarray(w, np.uint64), shape)
+             for w in W[:135]])
+    else:
+        wires = np.stack([
+            np.broadcast_to(np.asarray(w, np.uint64), shape) for w in W[:135]
+        ]).reshape(135, n)
+        out = _native.poseidon_eval_np(wires)
     return [out[i].reshape(shape) for i in range(123)]
 
 

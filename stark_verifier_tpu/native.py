@@ -54,12 +54,19 @@ def lib():
     _tried = True
     if os.environ.get("SVT_NATIVE", "1") != "1":
         return None
+    # libgomp's default active spin-wait keeps worker threads burning cores
+    # between parallel regions; with the AVX-512 planes, native calls are
+    # short and frequent, and the spinning starves the interleaved
+    # single-threaded numpy phases (measured 37.3 s -> 23.9 s on one
+    # aggregation pair-prove). Must be set before the first parallel region.
+    os.environ.setdefault("OMP_WAIT_POLICY", "passive")
     try:
         # staleness: the .so embeds the generated constants header too — a
         # regenerated header with an unchanged .c must also trigger a rebuild
         src_mtime = _SRC.stat().st_mtime
-        if _HDR.exists():
-            src_mtime = max(src_mtime, _HDR.stat().st_mtime)
+        for hdr in (_HDR, _SRC.parent / "gl_avx512.h"):
+            if hdr.exists():
+                src_mtime = max(src_mtime, hdr.stat().st_mtime)
         if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
             if not _build():
                 return None
@@ -80,6 +87,14 @@ def lib():
             L.svt_poseidon_fill_batch.argtypes = [u64p, ctypes.c_int64]
         if hasattr(L, "svt_poseidon_eval_batch"):
             L.svt_poseidon_eval_batch.argtypes = [u64p, ctypes.c_int64, u64p]
+        if hasattr(L, "svt_poseidon_eval_batch_p"):
+            L.svt_poseidon_eval_batch_p.argtypes = [
+                ctypes.POINTER(u64p), ctypes.c_int64, u64p]
+        if hasattr(L, "svt_ext2_arith_batch"):
+            L.svt_ext2_arith_batch.argtypes = (
+                [ctypes.c_uint64] * 2 + [u64p] * 8 + [ctypes.c_int64])
+            L.svt_ext2_reduce_chain.argtypes = (
+                [u64p] * 6 + [ctypes.c_int64] * 2)
         if hasattr(L, "svt_ntt_batch"):
             L.svt_ntt_batch.argtypes = [
                 u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64]
@@ -185,6 +200,34 @@ def poseidon_fill_np(inputs: np.ndarray, swap: np.ndarray) -> np.ndarray:
     return buf.T
 
 
+def ext2_arith_np(c0: int, c1: int, x, y, z):
+    """c0*(x*y) + c1*z over GF(p^2): x/y/z are (comp0, comp1) pairs of
+    same-shape uint64 arrays; returns an output pair. One C call replaces
+    the ArithmeticExtensionGate generator's ~15 tiny-array numpy ops."""
+    L = lib()
+    arrs = [np.ascontiguousarray(a, dtype=np.uint64)
+            for a in (x[0], x[1], y[0], y[1], z[0], z[1])]
+    o0 = np.empty(arrs[0].shape, dtype=np.uint64)
+    o1 = np.empty(arrs[0].shape, dtype=np.uint64)
+    L.svt_ext2_arith_batch(c0, c1, *map(_ptr, arrs), _ptr(o0), _ptr(o1),
+                           arrs[0].size)
+    return o0, o1
+
+
+def ext2_reduce_chain_np(alpha, acc, coeffs: np.ndarray) -> np.ndarray:
+    """Horner chain acc_j = acc_{j-1}*alpha + coeff_j with intermediates:
+    alpha/acc are (comp0, comp1) pairs of [B] arrays, coeffs uint64[k, 2, B]
+    -> accs uint64[k, 2, B] (the Reducing(Extension)Gate generator body)."""
+    L = lib()
+    arrs = [np.ascontiguousarray(a, dtype=np.uint64)
+            for a in (alpha[0], alpha[1], acc[0], acc[1])]
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    k, _, n = coeffs.shape
+    accs = np.empty((k, 2, n), dtype=np.uint64)
+    L.svt_ext2_reduce_chain(*map(_ptr, arrs), _ptr(coeffs), _ptr(accs), k, n)
+    return accs
+
+
 def poseidon_eval_np(wires: np.ndarray) -> np.ndarray:
     """All 123 PoseidonGate constraints evaluated pointwise on the base
     field: wires uint64[135, n] (gate-wire order) -> uint64[123, n]
@@ -195,6 +238,22 @@ def poseidon_eval_np(wires: np.ndarray) -> np.ndarray:
     n = wires.shape[1]
     out = np.empty((123, n), dtype=np.uint64)
     L.svt_poseidon_eval_batch(_ptr(wires), n, _ptr(out))
+    return out
+
+
+def poseidon_eval_planes_np(planes) -> np.ndarray:
+    """Same as poseidon_eval_np but takes 135 separate [n] planes (each
+    made contiguous individually) — skips materializing the ~135-plane
+    block, which costs ~300 MB of copy at the aggregation degrees."""
+    L = lib()
+    assert L is not None and hasattr(L, "svt_poseidon_eval_batch_p")
+    planes = [np.ascontiguousarray(p, dtype=np.uint64).reshape(-1)
+              for p in planes]
+    n = planes[0].size
+    out = np.empty((123, n), dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    ptrs = (u64p * 135)(*[_ptr(p) for p in planes])
+    L.svt_poseidon_eval_batch_p(ptrs, n, _ptr(out))
     return out
 
 

@@ -660,8 +660,6 @@ def _attach_gadgets():
 
         def gen(s, x2=tuple(x2), y2=tuple(y2), z2=tuple(z2), row=row, b=b,
                 c0=c0, c1=c1):
-            from ..ops import ext2
-
             xv = (s.get(x2[0]), s.get(x2[1]))
             yv = (s.get(y2[0]), s.get(y2[1]))
             zv = (s.get(z2[0]), s.get(z2[1]))
@@ -669,12 +667,20 @@ def _attach_gadgets():
                 s.set(("w", row, b + k), xv[k])
                 s.set(("w", row, b + 2 + k), yv[k])
                 s.set(("w", row, b + 4 + k), zv[k])
-            sh = xv[0].shape
-            prod = ext2.mul(gl, xv, yv)
-            r0 = gl.add(gl.mul(gl.const(c0, sh), prod[0]),
-                        gl.mul(gl.const(c1, sh), zv[0]))
-            r1 = gl.add(gl.mul(gl.const(c0, sh), prod[1]),
-                        gl.mul(gl.const(c1, sh), zv[1]))
+            from .. import native as _native
+
+            if _native.lib() is not None and hasattr(
+                    _native.lib(), "svt_ext2_arith_batch"):
+                r0, r1 = _native.ext2_arith_np(c0, c1, xv, yv, zv)
+            else:
+                from ..ops import ext2
+
+                sh = xv[0].shape
+                prod = ext2.mul(gl, xv, yv)
+                r0 = gl.add(gl.mul(gl.const(c0, sh), prod[0]),
+                            gl.mul(gl.const(c1, sh), zv[0]))
+                r1 = gl.add(gl.mul(gl.const(c0, sh), prod[1]),
+                            gl.mul(gl.const(c1, sh), zv[1]))
             s.set(("w", row, b + 6), r0)
             s.set(("w", row, b + 7), r1)
 

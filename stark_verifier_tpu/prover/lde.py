@@ -10,8 +10,9 @@ see prove.py). Three backends:
 
 Backend choice is data-driven (tools/bench_lde_backends.py,
 .bank/lde_bench.jsonl, round 4): on the exact aggregation shapes
-([1080, 2^14] wires etc.) the native C plane sustains 4-10 Mpoints/s on a
-4-core host while the TPU jax path manages 0.4-1.2 Mpoints/s — a radix-2
+([1080, 2^14] wires etc.) the native C plane sustains 31-114 Mpoints/s on
+a 4-core host (AVX-512 butterflies) while the TPU jax path manages
+0.4-1.2 Mpoints/s — a radix-2
 NTT is 14-17 sequential stages of element shuffles with no matmul for the
 MXU, the 4x16-bit limb emulation multiplies the VPU op count, and every
 call pays host<->device transfer of the full oracle plus a multi-minute

@@ -215,11 +215,40 @@ def _reducing_gate(b: CircuitBuilder, alpha, old_acc, coeffs, ext_coeffs: bool):
 
     def gen(s, alpha=tuple(alpha), old_acc=tuple(old_acc),
             coeffs=tuple(coeffs), row=row, gate=gate, ext_coeffs=ext_coeffs):
+        import numpy as np
+
+        from .. import native as _native
+
         av = (s.get(alpha[0]), s.get(alpha[1]))
         acc = (s.get(old_acc[0]), s.get(old_acc[1]))
         for k in range(2):
             s.set(("w", row, 2 + k), av[k])
             s.set(("w", row, 4 + k), acc[k])
+        k_n = len(coeffs)
+        B = np.broadcast_shapes(np.shape(av[0]), np.shape(acc[0]))
+        use_native = (_native.lib() is not None
+                      and hasattr(_native.lib(), "svt_ext2_reduce_chain")
+                      and len(B) == 1)
+        if use_native:
+            # materialize coeff components once, run the whole Horner chain
+            # (with intermediates) in one C call
+            cv_mat = np.zeros((k_n, 2, B[0]), dtype=np.uint64)
+            for i, c in enumerate(coeffs):
+                if ext_coeffs:
+                    cv0, cv1 = s.get(c[0]), s.get(c[1])
+                    cv_mat[i, 0], cv_mat[i, 1] = cv0, cv1
+                    s.set(("w", row, gate.wire_coeff(i)), cv0)
+                    s.set(("w", row, gate.wire_coeff(i) + 1), cv1)
+                else:
+                    base = s.get(c)
+                    cv_mat[i, 0] = base
+                    s.set(("w", row, gate.wire_coeff(i)), base)
+            accs = _native.ext2_reduce_chain_np(av, acc, cv_mat)
+            for i in range(k_n):
+                w = gate.wires_acc(i)
+                s.set(("w", row, w), accs[i, 0])
+                s.set(("w", row, w + 1), accs[i, 1])
+            return
         for i, c in enumerate(coeffs):
             if ext_coeffs:
                 cv = (s.get(c[0]), s.get(c[1]))

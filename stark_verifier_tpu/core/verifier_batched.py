@@ -221,29 +221,71 @@ def _verify_fri_batched(F, common, ch, pa, vk_cap, reduced_openings, zeta,
 
     cur_bits = bits
     for li, arity_bits in enumerate(fp.reduction_arity_bits):
-        assert arity_bits == 1
-        evals = pa[f"step_evals_{li}"]  # [B, Q, 2, 2]
-        b0 = cur_bits[0]
-        mask = b0 != 0
-        e_0 = (V1._col(F, V1._col_axis(F, evals, 0, axis=-2), 0),
-               V1._col(F, V1._col_axis(F, evals, 0, axis=-2), 1))
-        e_1 = (V1._col(F, V1._col_axis(F, evals, 1, axis=-2), 0),
-               V1._col(F, V1._col_axis(F, evals, 1, axis=-2), 1))
-        at_idx = ext2.select(F, mask, e_1, e_0)
-        ok = ok & _all_q(ext2.equal(F, prev_eval, at_idx))
+        # generalized to any ConstantArityBits like the golden path
+        # (core/verifier.py:478-570; exceeds the reference's arity-2-only
+        # fri_chip.rs:211) — select-tree consistency check + barycentric
+        # interpolation at beta on the multiplicative coset.
+        arity = 1 << arity_bits
+        evals = pa[f"step_evals_{li}"]  # [B, Q, arity, 2]
+        e = [
+            (V1._col(F, V1._col_axis(F, evals, j, axis=-2), 0),
+             V1._col(F, V1._col_axis(F, evals, j, axis=-2), 1))
+            for j in range(arity)
+        ]
+        idx_bits = cur_bits[:arity_bits]  # LE: x_index_within_coset
+        masks = [b != 0 if not V1._is_bool(b) else b for b in idx_bits]
+        sel = e
+        for m in masks:
+            sel = [ext2.select(F, m, sel[2 * k + 1], sel[2 * k])
+                   for k in range(len(sel) // 2)]
+        ok = ok & _all_q(ext2.equal(F, prev_eval, sel[0]))
 
-        coset_start = F.select(mask, F.neg(x), x)
-        a0 = (coset_start, F.zeros(x.shape))
-        b0p = (F.neg(coset_start), F.zeros(x.shape))
         beta = _bq_ext(F, ch.fri_betas[li])
-        num = ext2.mul(F, ext2.sub(F, beta, a0), ext2.sub(F, e_1, e_0))
-        den = ext2.sub(F, b0p, a0)
-        prev_eval = ext2.add(F, ext2.div(F, num, den), e_0)
+        if arity_bits == 1:
+            e_0, e_1 = e
+            coset_start = F.select(masks[0], F.neg(x), x)
+            a0 = (coset_start, F.zeros(x.shape))
+            b0p = (F.neg(coset_start), F.zeros(x.shape))
+            num = ext2.mul(F, ext2.sub(F, beta, a0), ext2.sub(F, e_1, e_0))
+            den = ext2.sub(F, b0p, a0)
+            prev_eval = ext2.add(F, ext2.div(F, num, den), e_0)
+        else:
+            g = V1.primitive_root(arity_bits)
+            g_inv = pow(g, V1.P - 2, V1.P)
+            coset_start = x
+            for j in range(arity_bits):
+                c = F.const(pow(g_inv, 1 << j, V1.P), x.shape)
+                coset_start = F.select(masks[arity_bits - 1 - j],
+                                       F.mul(coset_start, c), coset_start)
+            ev = [e[int(f"{i:0{arity_bits}b}"[::-1], 2)] for i in range(arity)]
+            cs_ext = (coset_start, F.zeros(x.shape))
+            cs_pow = ext2.pow_const(F, cs_ext, arity, x.shape)
+            beta_pow = ext2.pow_const(F, beta, arity, x.shape)
+            front = ext2.div(
+                F,
+                ext2.sub(F, beta_pow, cs_pow),
+                ext2.mul(
+                    F,
+                    (F.const(arity, x.shape), F.zeros(x.shape)),
+                    ext2.pow_const(F, cs_ext, arity - 1, x.shape),
+                ),
+            )
+            total = ext2.zero(F, x.shape)
+            for i in range(arity):
+                gi = F.const(pow(g, i, V1.P), x.shape)
+                x_i = (F.mul(coset_start, gi), F.zeros(x.shape))
+                term = ext2.div(
+                    F,
+                    ext2.mul(F, ev[i], (gi, F.zeros(x.shape))),
+                    ext2.sub(F, beta, x_i),
+                )
+                total = ext2.add(F, total, term)
+            prev_eval = ext2.mul(F, front, total)
 
-        coset_bits = cur_bits[1:]
+        coset_bits = cur_bits[arity_bits:]
         d_i = len(coset_bits) - cap_height
         sibs = pa[f"step_sibs_{li}"]
-        leaf = [e_0[0], e_0[1], e_1[0], e_1[1]]
+        leaf = [c for ej in e for c in ej]  # flattened stored order
         siblings = [
             [V1._col(F, V1._col_axis(F, sibs, d, axis=-2), i) for i in range(4)]
             for d in range(d_i)
@@ -257,7 +299,8 @@ def _verify_fri_batched(F, common, ch, pa, vk_cap, reduced_openings, zeta,
         for i in range(4):
             ok = ok & _all_q(F.equal(V1._col(F, expected, i), state[i]))
 
-        x = F.mul(x, x)
+        for _ in range(arity_bits):
+            x = F.mul(x, x)
         x_ext = (x, F.zeros(x.shape))
         cur_bits = coset_bits
 

@@ -93,3 +93,34 @@ def test_arity4_jax_jitted_batch():
     pa = to_gf(batched_arrays(bad))
     ok = np.asarray(jax.device_get(fn(pa)))
     assert list(ok) == [True, True, False, True]
+
+
+@pytest.mark.quick
+def test_arity4_batched_verifier():
+    """The production batch-in-lanes path (core/verifier_batched.py) at
+    arity 4: accepts all lanes, rejects exactly a corrupted lane. The
+    scan-based batched graph compiles in seconds on XLA:CPU (unlike the
+    unrolled vmap path gated above)."""
+    import jax
+
+    from stark_verifier_tpu.core.verifier_batched import verify_batched
+    from stark_verifier_tpu.models.flagship import batched_arrays
+    from stark_verifier_tpu.ops import gl64_cpu as gc
+
+    data, proofs = _build_and_prove(arity_bits=2, final_poly_bits=3, batch=4,
+                                    min_degree=256)
+    assert data.common.fri_params.reduction_arity_bits == [2, 2, 2]
+    batched = batched_arrays(proofs)
+    bad = {k: v.copy() for k, v in batched.items()}
+    bad["step_evals_1"][2, 1, 2, 0] ^= 1  # lane 2, one fold-layer eval
+
+    vk_cap = gc.from_u64(data.vk.constants_sigmas_cap)
+    digest = gc.from_u64(data.vk.circuit_digest)
+    fn = jax.jit(
+        lambda pa: verify_batched(gc, data.common, vk_cap, digest, pa))
+    ok = np.asarray(fn({k: gc.from_u64(v) for k, v in batched.items()}))
+    assert ok.all()
+    ok_bad = np.asarray(fn({k: gc.from_u64(v) for k, v in bad.items()}))
+    expect = np.ones(4, dtype=bool)
+    expect[2] = False
+    assert (ok_bad == expect).all()

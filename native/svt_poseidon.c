@@ -232,6 +232,23 @@ void svt_merkle_level(const uint64_t *in, int64_t m, uint64_t *out) {
  * leading zero bits. Returns the first witness >= start. */
 uint64_t svt_grind_pow(const uint64_t *state12, const uint64_t *prefix,
                        int64_t k, int32_t pow_bits, uint64_t start) {
+#if GL_HAVE_AVX512
+    /* 8 candidates per permutation gang; first hit in lane order keeps
+     * the result identical to the scalar scan (lowest witness >= start) */
+    for (uint64_t cand = start;; cand += 8) {
+        V8 s[WIDTH];
+        for (int i = 0; i < WIDTH; i++) s[i] = v_set1(state12[i]);
+        for (int64_t j = 0; j < k; j++) s[j] = v_set1(prefix[j]);
+        s[k] = _mm512_add_epi64(
+            v_set1(cand), _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7));
+        poseidon12_x8(s);
+        uint64_t out7[8];
+        _mm512_storeu_si512((void *)out7, s[RATE - 1]);
+        for (int l = 0; l < 8; l++)
+            if (pow_bits == 0 || (out7[l] >> (64 - pow_bits)) == 0)
+                return cand + (uint64_t)l;
+    }
+#else
     for (uint64_t cand = start;; cand++) {
         uint64_t s[WIDTH];
         memcpy(s, state12, sizeof s);
@@ -241,6 +258,7 @@ uint64_t svt_grind_pow(const uint64_t *state12, const uint64_t *prefix,
         if (pow_bits == 0 || (s[RATE - 1] >> (64 - pow_bits)) == 0)
             return cand;
     }
+#endif
 }
 
 /* Batched grind: states [B, 12], prefixes [B, k] -> out [B]. */
@@ -270,6 +288,42 @@ void svt_gl_mul(const uint64_t *a, const uint64_t *b, uint64_t *out,
 #else
 #pragma omp parallel for schedule(static) if(n >= 4096)
     for (int64_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+#endif
+}
+
+/* out = a + b mod p (one EPS correction, mirrors gl64_np.add). */
+void svt_gl_add_arr(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                    int64_t n) {
+#if GL_HAVE_AVX512
+    int64_t nv = n & ~7ll;
+#pragma omp parallel for schedule(static) if(n >= 65536)
+    for (int64_t i = 0; i < nv; i += 8)
+        _mm512_storeu_si512(
+            (void *)(out + i),
+            v_gl_add(_mm512_loadu_si512((const void *)(a + i)),
+                     _mm512_loadu_si512((const void *)(b + i))));
+    for (int64_t i = nv; i < n; i++) out[i] = gl_add(a[i], b[i]);
+#else
+#pragma omp parallel for schedule(static) if(n >= 65536)
+    for (int64_t i = 0; i < n; i++) out[i] = gl_add(a[i], b[i]);
+#endif
+}
+
+/* out = a - b mod p (any u64 reps, mirrors gl64_np.sub). */
+void svt_gl_sub_arr(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                    int64_t n) {
+#if GL_HAVE_AVX512
+    int64_t nv = n & ~7ll;
+#pragma omp parallel for schedule(static) if(n >= 65536)
+    for (int64_t i = 0; i < nv; i += 8)
+        _mm512_storeu_si512(
+            (void *)(out + i),
+            v_gl_sub_any(_mm512_loadu_si512((const void *)(a + i)),
+                         _mm512_loadu_si512((const void *)(b + i))));
+    for (int64_t i = nv; i < n; i++) out[i] = gl_sub_any(a[i], b[i]);
+#else
+#pragma omp parallel for schedule(static) if(n >= 65536)
+    for (int64_t i = 0; i < n; i++) out[i] = gl_sub_any(a[i], b[i]);
 #endif
 }
 

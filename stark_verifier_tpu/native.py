@@ -83,6 +83,9 @@ def lib():
             u64p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u64p]
         L.svt_gl_mul.argtypes = [u64p, u64p, u64p, ctypes.c_int64]
         L.svt_gl_mul_add.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_int64]
+        if hasattr(L, "svt_gl_add_arr"):
+            L.svt_gl_add_arr.argtypes = [u64p, u64p, u64p, ctypes.c_int64]
+            L.svt_gl_sub_arr.argtypes = [u64p, u64p, u64p, ctypes.c_int64]
         if hasattr(L, "svt_poseidon_fill_batch"):
             L.svt_poseidon_fill_batch.argtypes = [u64p, ctypes.c_int64]
         if hasattr(L, "svt_poseidon_eval_batch"):
@@ -335,4 +338,25 @@ def gl_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     b = np.ascontiguousarray(b, dtype=np.uint64)
     out = np.empty(a.shape, dtype=np.uint64)
     L.svt_gl_mul(_ptr(a), _ptr(b), _ptr(out), a.size)
+    return out
+
+
+def gl_add_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise a + b mod p (same-shape arrays; one fused pass vs the
+    numpy model's 5)."""
+    L = lib()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.shape, dtype=np.uint64)
+    L.svt_gl_add_arr(_ptr(a), _ptr(b), _ptr(out), a.size)
+    return out
+
+
+def gl_sub_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise a - b mod p (any u64 representatives)."""
+    L = lib()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.shape, dtype=np.uint64)
+    L.svt_gl_sub_arr(_ptr(a), _ptr(b), _ptr(out), a.size)
     return out

@@ -40,6 +40,12 @@ def asfield(x) -> np.ndarray:
 
 
 def add(a, b):
+    if getattr(a, "size", 1) >= 8192 or getattr(b, "size", 1) >= 8192:
+        nm = _get_native_addsub()
+        if nm is not False:
+            if np.shape(a) != np.shape(b):
+                a, b = np.broadcast_arrays(a, b)
+            return nm[0](a, b)
     s = a + b  # wraps mod 2^64
     of = s < a
     s = s + of.astype(np.uint64) * _EPS
@@ -49,12 +55,32 @@ def add(a, b):
 
 
 def sub(a, b):
+    if getattr(a, "size", 1) >= 8192 or getattr(b, "size", 1) >= 8192:
+        nm = _get_native_addsub()
+        if nm is not False:
+            if np.shape(a) != np.shape(b):
+                a, b = np.broadcast_arrays(a, b)
+            return nm[1](a, b)
     d = a - b
     uf = a < b
     # -2^64 === -EPSILON (mod p)
     d = d - uf.astype(np.uint64) * _EPS
     ge = d >= _P
     return d - ge.astype(np.uint64) * _P
+
+
+_native_addsub = None
+
+
+def _get_native_addsub():
+    global _native_addsub
+    if _native_addsub is None:
+        from .. import native
+
+        ok = (native.lib() is not None
+              and hasattr(native.lib(), "svt_gl_add_arr"))
+        _native_addsub = (native.gl_add_np, native.gl_sub_np) if ok else False
+    return _native_addsub
 
 
 def neg(a):

@@ -47,11 +47,14 @@ class WitnessConflict(AssertionError):
 
 
 class WitnessStore:
-    """target -> uint64 array [batch]."""
+    """target -> uint64 array [batch]; whole gate rows can be stored as one
+    [num_wires_used, batch] block (a PoseidonGate row is 135 wires — per-wire
+    dict traffic dominated witness generation)."""
 
     def __init__(self, batch: int):
         self.batch = batch
         self.vals: Dict[Target, np.ndarray] = {}
+        self.blocks: Dict[int, np.ndarray] = {}  # row -> [nw_used, batch]
 
     def set(self, t: Target, v):
         # fast path: generators overwhelmingly store ready-made [batch]
@@ -64,8 +67,24 @@ class WitnessStore:
         v = np.broadcast_to(np.asarray(v, dtype=np.uint64), (self.batch,))
         self.vals[t] = v
 
+    def set_block(self, row: int, wires2d: np.ndarray):
+        """All wires of one gate row at once: wires2d uint64[nw, batch]."""
+        self.blocks[row] = wires2d
+
     def get(self, t: Target) -> np.ndarray:
+        if t[0] == "w":
+            blk = self.blocks.get(t[1])
+            if blk is not None and t[2] < blk.shape[0]:
+                return blk[t[2]]
         return self.vals[t]
+
+    def lookup(self, t: Target):
+        """get() that returns None for unset targets (copy-check path)."""
+        if t[0] == "w":
+            blk = self.blocks.get(t[1])
+            if blk is not None and t[2] < blk.shape[0]:
+                return blk[t[2]]
+        return self.vals.get(t)
 
 
 class CircuitBuilder:
@@ -187,6 +206,18 @@ class CircuitBuilder:
         def gen(s, inputs=tuple(inputs), swap=swap, row=row):
             ins = [s.get(t) for t in inputs]
             sw = s.get(swap)
+            from .. import native as _native
+
+            if (_native.lib() is not None
+                    and hasattr(_native.lib(), "svt_poseidon_fill_batch")
+                    and all(type(x) is np.ndarray and x.shape == (s.batch,)
+                            for x in ins)):
+                sw_arr = np.broadcast_to(
+                    np.asarray(sw, np.uint64), (s.batch,))
+                flat = _native.poseidon_fill_np(
+                    np.ascontiguousarray(np.stack(ins)), sw_arr)
+                s.set_block(row, flat)  # all 135 wires in one entry
+                return
             wires, _ = G.poseidon_witness_fill(gl, ins, sw)
             for wi, v in wires.items():
                 s.set(("w", row, wi), v)
@@ -513,10 +544,9 @@ class CircuitData:
         # check=False deliberately emits the unsound proof instead (used by
         # negative tests asserting the VERIFIER also rejects it).
         if check:
-            vals = store.vals
             for a, b in self.builder.copy_constraints:
-                va = vals.get(a)
-                vb = vals.get(b)
+                va = store.lookup(a)
+                vb = store.lookup(b)
                 if va is not None and vb is not None and not np.array_equal(va, vb):
                     raise WitnessConflict(
                         f"copy constraint violated in witness: {a} != {b} "
@@ -528,6 +558,8 @@ class CircuitData:
             if t[0] == "w":
                 _, row, col = t
                 W[col, row] = v
+        for row, blk in store.blocks.items():
+            W[: blk.shape[0], row] = blk
         # zk: randomize the blinding rows' wires (unconstrained noop rows).
         # Pair rows (Z-poly blinding) carry IDENTICAL random values on the
         # routed wires — they are copy-constrained together — and

@@ -158,3 +158,31 @@ def test_merkle_tree_native_planes_bit_exact():
         for a, b in zip(t_fast.levels, t_ref.levels):
             assert np.array_equal(a, b), (shape, cap)
         assert np.array_equal(t_fast.cap, t_ref.cap)
+
+
+def test_gl_add_sub_native_routes_bit_exact():
+    """gl64_np.add/sub route big arrays through svt_gl_add_arr/sub_arr;
+    must match the pure-numpy formulas for canonical AND non-canonical
+    representatives (sub accepts any u64 reps)."""
+    n = 20000  # above the 8192 routing threshold
+    a = rng.integers(0, 2**64, n, dtype=np.uint64)
+    b = rng.integers(0, 2**64, n, dtype=np.uint64)
+
+    def ref_add(a, b):
+        s = a + b
+        s = s + (s < a).astype(np.uint64) * np.uint64(0xFFFFFFFF)
+        return s - (s >= np.uint64(gl.P)).astype(np.uint64) * np.uint64(gl.P)
+
+    def ref_sub(a, b):
+        d = a - b
+        d = d - (a < b).astype(np.uint64) * np.uint64(0xFFFFFFFF)
+        return d - (d >= np.uint64(gl.P)).astype(np.uint64) * np.uint64(gl.P)
+
+    assert np.array_equal(gl.add(a, b), ref_add(a, b))
+    assert np.array_equal(gl.sub(a, b), ref_sub(a, b))
+    ac = a % np.uint64(gl.P)
+    bc = b % np.uint64(gl.P)
+    assert np.array_equal(gl.add(ac, bc), ref_add(ac, bc))
+    assert np.array_equal(gl.sub(ac, bc), ref_sub(ac, bc))
+    # scalar-int second operand keeps working through the broadcast route
+    assert np.array_equal(gl.add(ac, 7), ref_add(ac, np.uint64(7)))

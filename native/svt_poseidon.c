@@ -309,6 +309,14 @@ void svt_gl_add_arr(const uint64_t *a, const uint64_t *b, uint64_t *out,
 #endif
 }
 
+static inline uint64_t gl_sub_any(uint64_t a, uint64_t b) {
+    /* a - b mod p for ANY u64 representatives (matches gl64_np.sub) */
+    uint64_t d = a - b;
+    if (a < b) d -= GL_EPS;
+    if (d >= GL_P) d -= GL_P;
+    return d;
+}
+
 /* out = a - b mod p (any u64 reps, mirrors gl64_np.sub). */
 void svt_gl_sub_arr(const uint64_t *a, const uint64_t *b, uint64_t *out,
                     int64_t n) {
@@ -357,14 +365,6 @@ void svt_gl_mul_add(const uint64_t *a, const uint64_t *b, const uint64_t *c,
  * io: uint64[n][135], inputs+swap prefilled; the rest written in place.
  */
 #define FP_RP 22
-
-static inline uint64_t gl_sub_any(uint64_t a, uint64_t b) {
-    /* a - b mod p for ANY u64 representatives (matches gl64_np.sub) */
-    uint64_t d = a - b;
-    if (a < b) d -= GL_EPS;
-    if (d >= GL_P) d -= GL_P;
-    return d;
-}
 
 static void poseidon_fill_one(uint64_t *w) {
     uint64_t *in = w;        /* 0..11 */

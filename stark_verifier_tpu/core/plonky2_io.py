@@ -26,11 +26,12 @@ so the loader cannot silently drift from the writer.
 from __future__ import annotations
 
 import json
+import struct
 from typing import List
 
 import numpy as np
 
-from .types import FriProof, FriQueryRounds, OpeningSet, Proof
+from .types import CommonData, FriProof, FriQueryRounds, OpeningSet, Proof
 
 
 def _hashout(arr4) -> dict:
@@ -95,6 +96,167 @@ def proof_to_json(proof: Proof) -> str:
         "public_inputs": [int(x) for x in proof.public_inputs],
     }
     return json.dumps(obj)
+
+
+# --------------------------------------------------------------------------
+# plonky2 COMPACT BINARY format (util/serialization Buffer layout)
+#
+# This is the byte format `ProofWithPublicInputs::to_bytes` /
+# `::from_bytes(bytes, common_data)` produce and consume in the plonky2
+# crate the reference pins (Cargo.toml:11) — the shape external proof bytes
+# actually arrive in. Layout (all field elements canonical u64
+# little-endian, lengths NOT serialized except the one u8 below — the
+# reader derives every count from CommonData, exactly as plonky2's
+# `read_proof(common_data)` does):
+#
+#   proof_with_public_inputs := proof || field_vec(public_inputs)
+#   proof      := cap(wires) || cap(zs_partial_products) || cap(quotient)
+#                 || opening_set || fri_proof
+#   cap        := hash[2^cap_height]           hash := 4 x u64le (HashOut)
+#   opening_set:= ext_vec(constants) || ext_vec(plonk_sigmas)
+#                 || ext_vec(wires) || ext_vec(plonk_zs)
+#                 || ext_vec(plonk_zs_next) || ext_vec(partial_products)
+#                 || ext_vec(quotient_polys)  ext := 2 x u64le (D = 2)
+#   fri_proof  := cap[num_reduction_layers] || query_round[num_query_rounds]
+#                 || ext_vec(final_poly) || u64le(pow_witness)
+#   query_round:= initial_trees || step[num_reduction_layers]
+#   initial_trees := (field_vec(leaf_o) || merkle_proof)  for o in 4 oracles
+#                    (leaf_o length = oracle num_polys + salt)
+#   step       := ext_vec(evals[arity]) || merkle_proof
+#   merkle_proof := u8(num_siblings) || hash[num_siblings]
+#                    (the ONE length plonky2 does serialize:
+#                     serialization/mod.rs write_merkle_proof)
+# --------------------------------------------------------------------------
+
+
+class _Buf:
+    """Sequential reader over bytes, mirroring plonky2's Buffer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def fields(self, n: int) -> np.ndarray:
+        """n canonical u64le field elements -> uint64[n]."""
+        end = self.pos + 8 * n
+        out = np.frombuffer(self.data, dtype="<u8", count=n, offset=self.pos)
+        self.pos = end
+        return out.astype(np.uint64)
+
+    def exts(self, n: int) -> np.ndarray:
+        """n quadratic-extension elements -> uint64[n, 2]."""
+        return self.fields(2 * n).reshape(n, 2)
+
+    def hashes(self, n: int) -> np.ndarray:
+        """n HashOuts -> uint64[n, 4]."""
+        return self.fields(4 * n).reshape(n, 4)
+
+    def u8(self) -> int:
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+
+def _w_fields(out: bytearray, arr):
+    out += np.ascontiguousarray(
+        np.asarray(arr, dtype=np.uint64).reshape(-1)).astype("<u8").tobytes()
+
+
+def proof_to_bytes(proof: Proof) -> bytes:
+    """plonky2 `ProofWithPublicInputs::to_bytes` byte layout (see above)."""
+    out = bytearray()
+    _w_fields(out, proof.wires_cap)
+    _w_fields(out, proof.plonk_zs_partial_products_cap)
+    _w_fields(out, proof.quotient_polys_cap)
+    o = proof.openings
+    for a in (o.constants, o.plonk_sigmas, o.wires, o.plonk_zs,
+              o.plonk_zs_next, o.partial_products, o.quotient_polys):
+        _w_fields(out, a)
+    op = proof.opening_proof
+    _w_fields(out, op.commit_phase_caps)
+    qr = op.query_rounds
+    Q = qr.initial_evals[0].shape[0]
+    n_steps = len(qr.step_evals)
+    for q in range(Q):
+        for orc in range(4):
+            _w_fields(out, qr.initial_evals[orc][q])
+            sibs = qr.initial_siblings[orc][q]
+            out += struct.pack("<B", sibs.shape[0])
+            _w_fields(out, sibs)
+        for li in range(n_steps):
+            _w_fields(out, qr.step_evals[li][q])
+            sibs = qr.step_siblings[li][q]
+            out += struct.pack("<B", sibs.shape[0])
+            _w_fields(out, sibs)
+    _w_fields(out, op.final_poly)
+    _w_fields(out, np.asarray(op.pow_witness).reshape(1))
+    _w_fields(out, proof.public_inputs)
+    return bytes(out)
+
+
+def proof_from_bytes(data: bytes, common: CommonData) -> Proof:
+    """plonky2 `ProofWithPublicInputs::from_bytes(bytes, common_data)`:
+    every count below is derived from CommonData the same way plonky2's
+    `read_proof` derives it (serialization/mod.rs)."""
+    b = _Buf(data)
+    cap_size = 1 << common.config.fri_config.cap_height
+    wires_cap = b.hashes(cap_size)
+    zs_pp_cap = b.hashes(cap_size)
+    quot_cap = b.hashes(cap_size)
+    cfg = common.config
+    openings = OpeningSet(
+        constants=b.exts(common.num_constants),
+        plonk_sigmas=b.exts(cfg.num_routed_wires),
+        wires=b.exts(cfg.num_wires),
+        plonk_zs=b.exts(cfg.num_challenges),
+        plonk_zs_next=b.exts(cfg.num_challenges),
+        partial_products=b.exts(cfg.num_challenges * common.num_partial_products),
+        quotient_polys=b.exts(cfg.num_challenges * common.quotient_degree_factor),
+    )
+    arity_bits = common.fri_params.reduction_arity_bits
+    n_layers = len(arity_bits)
+    commit_phase_caps = (b.hashes(n_layers * cap_size).reshape(
+        n_layers, cap_size, 4) if n_layers else np.zeros((0, cap_size, 4),
+                                                         np.uint64))
+    Q = cfg.fri_config.num_query_rounds
+    leaf_lens = [n + common.salt_size(blinding)
+                 for n, blinding in common.fri_oracles()]
+    init_evals = [[] for _ in range(4)]
+    init_sibs = [[] for _ in range(4)]
+    step_evals = [[] for _ in range(n_layers)]
+    step_sibs = [[] for _ in range(n_layers)]
+    for _ in range(Q):
+        for orc in range(4):
+            init_evals[orc].append(b.fields(leaf_lens[orc]))
+            init_sibs[orc].append(b.hashes(b.u8()))
+        for li in range(n_layers):
+            step_evals[li].append(b.exts(1 << arity_bits[li]))
+            step_sibs[li].append(b.hashes(b.u8()))
+    final_poly = b.exts(common.fri_params.final_poly_len)
+    pow_witness = b.fields(1)[0]
+    public_inputs = b.fields(common.num_public_inputs)
+    if b.pos != len(data):
+        raise ValueError(
+            f"trailing bytes: consumed {b.pos} of {len(data)} — "
+            "common data does not match this proof")
+    return Proof(
+        wires_cap=wires_cap,
+        plonk_zs_partial_products_cap=zs_pp_cap,
+        quotient_polys_cap=quot_cap,
+        openings=openings,
+        opening_proof=FriProof(
+            commit_phase_caps=commit_phase_caps,
+            query_rounds=FriQueryRounds(
+                initial_evals=[np.stack(e) for e in init_evals],
+                initial_siblings=[np.stack(s) for s in init_sibs],
+                step_evals=[np.stack(e) for e in step_evals],
+                step_siblings=[np.stack(s) for s in step_sibs],
+            ),
+            final_poly=final_poly,
+            pow_witness=np.uint64(pow_witness),
+        ),
+        public_inputs=public_inputs,
+    )
 
 
 def _np_cap(lst) -> np.ndarray:

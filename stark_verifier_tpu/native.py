@@ -20,6 +20,15 @@ _SRC = _REPO / "native" / "svt_poseidon.c"
 _HDR = _REPO / "native" / "poseidon_constants.h"
 _SO = _REPO / "native" / "_svt_poseidon.so"
 
+# libgomp's default active spin-wait keeps worker threads burning cores
+# between parallel regions; with the AVX-512 planes, native calls are
+# short and frequent, and the spinning starves the interleaved
+# single-threaded numpy phases (measured 37.3 s -> 23.9 s on one
+# aggregation pair-prove). Must be set before libgomp loads — hoisted to
+# module import time so it applies regardless of whether lib() or
+# bn254_lib() (or any other OpenMP user) triggers the first load.
+os.environ.setdefault("OMP_WAIT_POLICY", "passive")
+
 _lib = None
 _tried = False
 
@@ -54,12 +63,6 @@ def lib():
     _tried = True
     if os.environ.get("SVT_NATIVE", "1") != "1":
         return None
-    # libgomp's default active spin-wait keeps worker threads burning cores
-    # between parallel regions; with the AVX-512 planes, native calls are
-    # short and frequent, and the spinning starves the interleaved
-    # single-threaded numpy phases (measured 37.3 s -> 23.9 s on one
-    # aggregation pair-prove). Must be set before the first parallel region.
-    os.environ.setdefault("OMP_WAIT_POLICY", "passive")
     try:
         # staleness: the .so embeds the generated constants header too — a
         # regenerated header with an unchanged .c must also trigger a rebuild
@@ -210,6 +213,10 @@ def ext2_arith_np(c0: int, c1: int, x, y, z):
     L = lib()
     arrs = [np.ascontiguousarray(a, dtype=np.uint64)
             for a in (x[0], x[1], y[0], y[1], z[0], z[1])]
+    # the C kernel indexes every operand with [i] for i < n; broadcast any
+    # scalar/0-d operand up front so it can never read out of bounds
+    shape = np.broadcast_shapes(*(a.shape for a in arrs))
+    arrs = [np.ascontiguousarray(np.broadcast_to(a, shape)) for a in arrs]
     o0 = np.empty(arrs[0].shape, dtype=np.uint64)
     o1 = np.empty(arrs[0].shape, dtype=np.uint64)
     L.svt_ext2_arith_batch(c0, c1, *map(_ptr, arrs), _ptr(o0), _ptr(o1),
@@ -222,10 +229,13 @@ def ext2_reduce_chain_np(alpha, acc, coeffs: np.ndarray) -> np.ndarray:
     alpha/acc are (comp0, comp1) pairs of [B] arrays, coeffs uint64[k, 2, B]
     -> accs uint64[k, 2, B] (the Reducing(Extension)Gate generator body)."""
     L = lib()
-    arrs = [np.ascontiguousarray(a, dtype=np.uint64)
-            for a in (alpha[0], alpha[1], acc[0], acc[1])]
     coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
     k, _, n = coeffs.shape
+    # C indexes alpha/acc components with [i] for i < n; broadcast scalar
+    # or 0-d components to (n,) so the kernel can never read out of bounds
+    arrs = [np.ascontiguousarray(
+                np.broadcast_to(np.asarray(a, dtype=np.uint64), (n,)))
+            for a in (alpha[0], alpha[1], acc[0], acc[1])]
     accs = np.empty((k, 2, n), dtype=np.uint64)
     L.svt_ext2_reduce_chain(*map(_ptr, arrs), _ptr(coeffs), _ptr(accs), k, n)
     return accs

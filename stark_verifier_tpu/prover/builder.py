@@ -62,13 +62,34 @@ class WitnessStore:
         # across ~1M calls per aggregation witness)
         if (type(v) is np.ndarray and v.dtype == _U64
                 and v.shape == (self.batch,)):
-            self.vals[t] = v
+            if t[0] == "w" and t[1] in self.blocks:
+                self._set_in_block(t, v)
+            else:
+                self.vals[t] = v
             return
         v = np.broadcast_to(np.asarray(v, dtype=np.uint64), (self.batch,))
-        self.vals[t] = v
+        if t[0] == "w" and t[1] in self.blocks:
+            self._set_in_block(t, v)
+        else:
+            self.vals[t] = v
+
+    def _set_in_block(self, t: Target, v: np.ndarray):
+        # get() gives row blocks precedence over vals, so a set() on a
+        # block-covered wire must land in the block to keep last-write-wins
+        # (wires past the block's coverage still go through vals)
+        blk = self.blocks[t[1]]
+        if t[2] < blk.shape[0]:
+            blk[t[2]] = v
+        else:
+            self.vals[t] = v
 
     def set_block(self, row: int, wires2d: np.ndarray):
-        """All wires of one gate row at once: wires2d uint64[nw, batch]."""
+        """All wires of one gate row at once: wires2d uint64[nw, batch].
+
+        Precedence is last-write-wins in both orders: get() prefers the
+        block (correct when set_block came after a per-wire set()), and
+        set() on a block-covered wire writes into the block (correct when
+        the per-wire set() came after)."""
         self.blocks[row] = wires2d
 
     def get(self, t: Target) -> np.ndarray:

@@ -69,9 +69,16 @@ def test_arity8_roundtrip():
 
 
 def test_arity4_jax_jitted_batch():
-    """Full-verifier jit at arity 4 (vmap path — unrolled graph, ~5-10 min
-    trace+compile on XLA:CPU; the ungated numpy tests above run the SAME
-    backend-generic fold code, so this only adds jit-compilability)."""
+    """Full-verifier jit at arity 4 (vmap path — unrolled graph).
+
+    Gate rationale (round 5, measured): even at min_degree=32 / batch=2 /
+    one fold layer, tracing the unrolled vmap verifier costs ~9.5 min wall
+    (the trace cost is in the per-gate Python unrolling, not the degree),
+    so no tiny always-on variant exists. Default-tier coverage of arity>1
+    instead comes from (a) the numpy goldens above — the SAME
+    backend-generic fold code — and (b) test_arity4_batched_verifier,
+    which jits the production scan-based path in seconds. Run this with
+    SVT_SLOW=1 in scheduled/CI runs."""
     import os
 
     if not os.environ.get("SVT_SLOW"):

@@ -50,7 +50,7 @@ def digest_chain(pis, ok, F=gj):
 
 
 def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
-                          axis: str = "data", F=gj):
+                          axis: str = "data", F=gj, batched: bool = False):
     """Data-parallel verification the jax-idiomatic way: the proof batch is
     laid out with `NamedSharding(mesh, P(axis))` on its leading axis and the
     plain `jit(vmap(verify))` program is partitioned by XLA's SPMD pass —
@@ -77,10 +77,22 @@ def make_sharded_verifier(common: CommonData, vk, mesh: Mesh,
     digest = F.from_u64(vk.circuit_digest)
     sharding = NamedSharding(mesh, P(axis))
 
-    def verify_one(pa):
-        return V.verify(F, common, vk_cap, digest, pa)
+    if batched:
+        # scan-based batch-in-lanes program (core/verifier_batched): the
+        # same batch-leading layout, but FRI queries/folds ride lax.scan so
+        # the traced graph is ~100x smaller — cold XLA:CPU compiles in
+        # seconds-to-minutes where vmap(verify) takes ~10 min at zk20
+        # height. Equally collective-free under the SPMD partitioner.
+        from ..core import verifier_batched as VB
 
-    verify_fn = jax.vmap(verify_one)
+        def verify_fn(pa):
+            return VB.verify_batched(F, common, vk_cap, digest, pa)
+
+    else:
+        def verify_one(pa):
+            return V.verify(F, common, vk_cap, digest, pa)
+
+        verify_fn = jax.vmap(verify_one)
 
     try:
         wrap = partial(_shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),

@@ -104,7 +104,28 @@ def _vlog(msg):
 
 
 def prove_batch(data: CircuitData, inputs: Dict, batch: int,
-                hasher: str = None, check_witness: bool = True) -> List[Proof]:
+                hasher: str = None, check_witness: bool = True,
+                max_lanes: int = None) -> List[Proof]:
+    """max_lanes chunks a wide batch into sequential sub-batches of at most
+    that many lanes (SVT_PROVE_CHUNK overrides; 0 = monolithic). Every
+    witness/LDE plane carries a [*, B, n]-shaped working set — at the
+    recursion degrees (2^14 rows, x8 LDE) per-lane cost grows measurably
+    with B as the planes outgrow the cache hierarchy (measured round 5:
+    16-pair level 380 s monolithic vs 159 s in chunks of 4), so chunking
+    the batch keeps the footprint at the sweet spot."""
+    import os
+
+    if max_lanes is None:
+        max_lanes = int(os.environ.get("SVT_PROVE_CHUNK", "0"))
+    if max_lanes and batch > max_lanes:
+        out: List[Proof] = []
+        for s in range(0, batch, max_lanes):
+            e = min(batch, s + max_lanes)
+            sub = {t: np.asarray(v)[..., s:e] if np.ndim(v) else v
+                   for t, v in inputs.items()}
+            out.extend(prove_batch(data, sub, e - s, hasher=hasher,
+                                   check_witness=check_witness, max_lanes=0))
+        return out
     common = data.common
     cfg = common.config
     # transcript/Merkle hash config (reference: plonky2_config.rs:53-104);

@@ -69,17 +69,134 @@ def build_aggregation_circuit(inner_common: CommonData,
 
 
 def prove_aggregation_level(agg: AggregationCircuit, proofs: List[Proof],
-                            inner_vk: VerifierOnlyData) -> List[Proof]:
+                            inner_vk: VerifierOnlyData,
+                            max_pairs: int = None) -> List[Proof]:
     """One tree level: proofs[2k], proofs[2k+1] -> aggregated proof k, all
-    pairs proved as one batch."""
+    pairs proved as one batch.
+
+    max_pairs chunks a wide level into sequential prove_batch calls of at
+    most that many pairs (SVT_AGG_CHUNK overrides; 0 = monolithic). At
+    deg 2^14 each pair's witness+LDE working set is ~350 MB of streamed
+    planes; chunking keeps the level's peak footprint flat as N grows."""
     assert len(proofs) % 2 == 0 and proofs
+    import os
+
+    if max_pairs is None:
+        max_pairs = int(os.environ.get("SVT_AGG_CHUNK", "0"))
+    procs = int(os.environ.get("SVT_AGG_PROCS", "1"))
     left, right = proofs[0::2], proofs[1::2]
     B = len(left)
+    procs = min(procs, B)  # small tail levels still fork one pair/worker
+    if procs > 1:
+        # Fork-parallel pair chunks: the prover's witness-generation and
+        # polynomial bookkeeping are single-threaded Python/numpy (the
+        # C/AVX-512 planes already use all cores, but they are only part of
+        # the time); P forked workers each prove B/P pairs with
+        # OMP_NUM_THREADS divided accordingly — the process-level analogue
+        # of the reference's rayon fan-out (recursion.rs:214-227).
+        return _prove_level_forked(agg, left, right, inner_vk, procs)
+    if max_pairs and B > max_pairs:
+        out: List[Proof] = []
+        for s in range(0, B, max_pairs):
+            out.extend(prove_aggregation_level(
+                agg, [p for lr in zip(left[s:s + max_pairs],
+                                      right[s:s + max_pairs]) for p in lr],
+                inner_vk, max_pairs=0))
+        return out
     inputs: Dict = {}
     inputs.update(fill_proof_targets(agg.pt0, left))
     inputs.update(fill_proof_targets(agg.pt1, right))
     inputs.update(fill_verifier_targets(agg.vt, inner_vk, B))
     return prove_batch(agg.data, inputs, B)
+
+
+def _prove_level_forked(agg, left, right, inner_vk, procs):
+    """Prove a level's pairs across forked worker processes.
+
+    os.fork (not multiprocessing spawn) so workers inherit the built
+    circuit (LDE tables, trees — ~100s of MB) copy-on-write for free
+    (spawn could not: CircuitData carries generator closures). Each worker
+    re-enters the plain single-process path on its chunk and streams the
+    resulting proofs back through a pipe.
+
+    libgomp is NOT fork-safe for multi-thread teams (a child entering a
+    parallel region deadlocks on the parent's dead thread pool — measured
+    on this box), but a team of ONE executes inline and is safe (also
+    measured). So every worker pins omp_set_num_threads(1): the C planes
+    run serial per worker, and the process fan-out supplies the
+    parallelism for C and Python phases alike."""
+    import ctypes
+    import gc
+    import os
+    import pickle
+    import struct
+
+    B = len(left)
+    bounds = [(i * B) // procs for i in range(procs + 1)]
+    chunks = [(bounds[i], bounds[i + 1]) for i in range(procs)]
+
+    # Freeze the parent heap across the forks: without this, the children's
+    # refcount writes and cyclic-GC passes touch every inherited object
+    # header, faulting copy-on-write copies of much of the parent heap
+    # (the parent holds per-level circuits with ~10k generator closures
+    # each); freeze + per-child gc.disable keeps the shared pages shared.
+    gc.collect()
+    gc.freeze()
+    pipes = []
+    pids = []
+    for (s, e) in chunks:
+        r_fd, w_fd = os.pipe()
+        pid = os.fork()
+        if pid == 0:
+            # child: prove [s, e) and stream the pickled proofs back
+            os.close(r_fd)
+            status = 1
+            try:
+                gc.disable()
+                try:
+                    ctypes.CDLL("libgomp.so.1").omp_set_num_threads(1)
+                except OSError:
+                    os.environ["SVT_NATIVE"] = "0"  # no libgomp: skip C
+                os.environ["SVT_AGG_PROCS"] = "1"
+                sub = [p for lr in zip(left[s:e], right[s:e]) for p in lr]
+                # max_pairs=None: SVT_AGG_CHUNK still applies inside the
+                # worker (procs is pinned to 1 above, so no re-fork)
+                out = prove_aggregation_level(agg, sub, inner_vk)
+                payload = pickle.dumps(out, protocol=pickle.HIGHEST_PROTOCOL)
+                with os.fdopen(w_fd, "wb") as w:
+                    w.write(struct.pack("<Q", len(payload)))
+                    w.write(payload)
+                status = 0
+            finally:
+                # do NOT run parent atexit/cleanup handlers in the child
+                os._exit(status)
+        os.close(w_fd)
+        pipes.append(r_fd)
+        pids.append(pid)
+    gc.unfreeze()
+
+    out: List[Proof] = []
+    failed = False
+    for r_fd, pid in zip(pipes, pids):
+        with os.fdopen(r_fd, "rb") as r:
+            hdr = r.read(8)
+            if len(hdr) != 8:
+                failed = True
+                continue
+            (ln,) = struct.unpack("<Q", hdr)
+            buf = r.read(ln)
+            if len(buf) != ln:
+                failed = True
+                continue
+            out.extend(pickle.loads(buf))
+    for pid in pids:
+        _, st = os.waitpid(pid, 0)
+        failed = failed or (os.waitstatus_to_exitcode(st) != 0)
+    if failed:
+        raise RuntimeError(
+            "forked aggregation worker failed (set SVT_AGG_PROCS=1 to "
+            "run in-process and see the traceback)")
+    return out
 
 
 def aggregate_proofs(proofs: List[Proof], common: CommonData,

@@ -87,6 +87,32 @@ def test_aggregate_tree_4(inner):
     assert verify_proof(gl, final_data.common, final_data.vk, final)
 
 
+def test_aggregate_forked_and_chunked(inner):
+    """The parallel production path (SVT_AGG_PROCS forked workers with
+    team-of-1 OMP + SVT_AGG_CHUNK sub-batches) produces proofs that verify
+    and expose the same public inputs as the in-process path."""
+    import os
+
+    from stark_verifier_tpu.semaphore.recursion import prove_aggregation_level
+
+    proofs, data, root = inner
+    agg = build_aggregation_circuit(data.common)
+    old = {k: os.environ.get(k) for k in ("SVT_AGG_PROCS", "SVT_AGG_CHUNK")}
+    try:
+        os.environ["SVT_AGG_PROCS"] = "2"
+        os.environ["SVT_AGG_CHUNK"] = "1"
+        out = prove_aggregation_level(agg, proofs[:4], data.vk)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
+    assert len(out) == 2
+    for i, p in enumerate(out):
+        assert (p.public_inputs[:4] == root).all()
+        assert p.public_inputs[4] == proofs[2 * i].public_inputs[4]
+        assert p.public_inputs[5] == proofs[2 * i + 1].public_inputs[4]
+        assert verify_proof(gl, agg.data.common, agg.data.vk, p)
+
+
 def test_aggregation_rejects_corrupt_child(inner):
     proofs, data, root = inner
     agg = build_aggregation_circuit(data.common)

@@ -23,6 +23,14 @@ import numpy as np
 
 
 def main(ns):
+    import os
+
+    # Production parallel-prover configuration (measured round 5,
+    # .bank/chunk_exp*.log): fork 4 single-OMP-thread workers per level,
+    # each proving its pairs in sub-batches of SVT_AGG_CHUNK — 16 pairs at
+    # deg 2^14 went 380 s (monolithic) -> 75 s. Override via env.
+    os.environ.setdefault("SVT_AGG_PROCS", str(os.cpu_count() or 4))
+    os.environ.setdefault("SVT_AGG_CHUNK", "4")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -89,6 +97,8 @@ def main(ns):
             "final_deg_bits": final_data.common.degree_bits,
             "final_verify_native_s": round(t_verify, 2),
             "zk": True, "queries": 28, "pow_bits": 16, "cap_height": 4,
+            "agg_procs": os.environ.get("SVT_AGG_PROCS"),
+            "agg_chunk": os.environ.get("SVT_AGG_CHUNK"),
             "levels": level_times,
         }
         with open(out_path, "a") as f:

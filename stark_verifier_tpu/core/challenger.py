@@ -96,3 +96,132 @@ class Challenger:
     def get_extension_challenge(self):
         c = self.get_n_challenges(2)
         return (c[0], c[1])
+
+
+# --------------------------------------------------------------- tape replay
+class _ChalHandle:
+    """Deferred challenge: index into TapeChallenger.finalize()'s value list."""
+
+    __slots__ = ("i",)
+
+    def __init__(self, i):
+        self.i = i
+
+
+class TapeChallenger:
+    """Same API and byte-exact semantics as Challenger, but RECORDS the
+    duplex schedule instead of executing it; finalize() then runs every
+    permutation of the transcript as ONE lax.scan over the static absorb
+    tape (per-step overwrite masks) and returns the squeezed values.
+
+    Sound for transcript REPLAY (verification): every absorbed element is
+    proof/vk data known up front — a squeezed challenge is never absorbed
+    back — so the whole tape exists before any permutation runs. The win is
+    compile time: a transcript has ~25 sequential duplex steps, and each
+    inlined permutation body (18k jaxpr eqns for the bn254 bridge, or a
+    Pallas call + planes for Goldilocks) otherwise repeats per step.
+
+    get_challenge() returns an opaque _ChalHandle; resolve_challenges()
+    swaps handles for arrays after finalize(). Do NOT use for a prover-side
+    transcript that absorbs values derived from earlier squeezes."""
+
+    def __init__(self, F, shape=(), permute=None):
+        self.F = F
+        self.shape = tuple(shape)
+        self.permute_fn = permute or pg.permute
+        self.input_buffer = []
+        self.steps = []       # list of absorb lists (len <= RATE)
+        self.n_out = 0        # unread outputs left from the last permutation
+        self.squeezes = []    # (step index, state position)
+
+    # observe_* mirror Challenger exactly (recording instead of hashing)
+    def observe_element(self, e):
+        self.n_out = 0
+        self.input_buffer.append(e)
+        if len(self.input_buffer) == RATE:
+            self.steps.append(self.input_buffer)
+            self.input_buffer = []
+            self.n_out = RATE
+
+    def observe_elements(self, elems):
+        for e in elems:
+            self.observe_element(e)
+
+    def observe_extension(self, ext):
+        self.observe_element(ext[0])
+        self.observe_element(ext[1])
+
+    def observe_hash(self, h4):
+        self.observe_elements(h4)
+
+    def observe_cap(self, cap):
+        self.observe_elements([e for h in cap for e in h])
+
+    def get_challenge(self):
+        if self.input_buffer:
+            self.steps.append(self.input_buffer)
+            self.input_buffer = []
+            self.n_out = RATE
+        elif self.n_out == 0:
+            self.steps.append([])
+            self.n_out = RATE
+        self.n_out -= 1
+        h = _ChalHandle(len(self.squeezes))
+        self.squeezes.append((len(self.steps) - 1, self.n_out))
+        return h
+
+    def get_n_challenges(self, n: int):
+        return [self.get_challenge() for _ in range(n)]
+
+    def get_extension_challenge(self):
+        c = self.get_n_challenges(2)
+        return (c[0], c[1])
+
+    def finalize(self):
+        """Run the recorded tape; returns vals with vals[handle.i] = GF."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        F = self.F
+        assert not self.input_buffer, "unabsorbed inputs at finalize"
+        # union shape over every absorbed element (vmap traces pass logical
+        # scalars; batched lanes pass [B]; constants may be plain scalars)
+        shape = jnp.broadcast_shapes(
+            self.shape,
+            *[tuple(e.l0.shape) for chunk in self.steps for e in chunk])
+        k = len(self.steps)
+        if k == 0:
+            return []
+        mask = np.zeros((k, RATE), bool)
+        z = F.zeros(shape)
+        flat = []
+        for ci, chunk in enumerate(self.steps):
+            mask[ci, : len(chunk)] = True
+            flat.extend(F.add(e, z) for e in chunk)
+            flat.extend(F.zeros(shape) for _ in range(RATE - len(chunk)))
+        xs = F.reshape(F.stack(flat), (k, RATE) + shape)
+        m = jnp.asarray(mask).reshape((k, RATE) + (1,) * len(shape))
+        permute = self.permute_fn
+
+        def body(st, x):
+            chunk, mm = x
+            front = F.select(mm, chunk, F.index(st, slice(0, RATE)))
+            st = permute(F, F.concat(
+                [front, F.index(st, slice(RATE, None))], axis=0))
+            return st, st
+
+        st0 = F.stack([F.zeros(shape) for _ in range(WIDTH)])
+        _, states = jax.lax.scan(body, st0, (xs, m))  # GF [k, WIDTH, ...]
+        return [F.index(states, (si, pos)) for si, pos in self.squeezes]
+
+
+def resolve_challenges(obj, vals):
+    """Recursively swap _ChalHandle leaves for their finalized arrays."""
+    if isinstance(obj, _ChalHandle):
+        return vals[obj.i]
+    if isinstance(obj, list):
+        return [resolve_challenges(x, vals) for x in obj]
+    if isinstance(obj, tuple):
+        return tuple(resolve_challenges(x, vals) for x in obj)
+    return obj

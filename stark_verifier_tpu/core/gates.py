@@ -118,6 +118,17 @@ class ArithmeticExtensionGate(Gate):
 
     def eval_unfiltered(self, R, C, W, pi):
         c0, c1 = C[0], C[1]
+        if _is_jax_ext_ring(R):
+            # all ops on one stacked lane axis: each constraint only reads
+            # wires, so the per-op loop is pure data parallelism
+            m0 = _alg_stack(R, [_alg_wires(W, 8 * i) for i in range(self.num_ops)])
+            m1 = _alg_stack(R, [_alg_wires(W, 8 * i + 2) for i in range(self.num_ops)])
+            ad = _alg_stack(R, [_alg_wires(W, 8 * i + 4) for i in range(self.num_ops)])
+            o = _alg_stack(R, [_alg_wires(W, 8 * i + 6) for i in range(self.num_ops)])
+            computed = alg_scalar_mul_add(
+                R, c1, ad, alg_scalar_mul(R, c0, alg_mul(R, m0, m1))
+            )
+            return _alg_unstack_pairs(R, alg_sub(R, o, computed))
         out = []
         for i in range(self.num_ops):
             b = 8 * i
@@ -150,6 +161,12 @@ class MulExtensionGate(Gate):
 
     def eval_unfiltered(self, R, C, W, pi):
         c0 = C[0]
+        if _is_jax_ext_ring(R):
+            m0 = _alg_stack(R, [_alg_wires(W, 6 * i) for i in range(self.num_ops)])
+            m1 = _alg_stack(R, [_alg_wires(W, 6 * i + 2) for i in range(self.num_ops)])
+            o = _alg_stack(R, [_alg_wires(W, 6 * i + 4) for i in range(self.num_ops)])
+            computed = alg_scalar_mul(R, c0, alg_mul(R, m0, m1))
+            return _alg_unstack_pairs(R, alg_sub(R, o, computed))
         out = []
         for i in range(self.num_ops):
             b = 6 * i
@@ -287,6 +304,8 @@ class RandomAccessGate(Gate):
         return self.num_routed_wires_used() + self.num_copies * self.bits
 
     def eval_unfiltered(self, R, C, W, pi):
+        if _is_jax_ext_ring(R):
+            return self._eval_stacked(R, C, W)
         out = []
         for copy in range(self.num_copies):
             access_index = W[self.wire_access_index(copy)]
@@ -304,6 +323,40 @@ class RandomAccessGate(Gate):
                     for k in range(len(items) // 2)
                 ]
             out.append(R.sub(items[0], claimed))
+        for i in range(self.num_extra_constants):
+            out.append(R.sub(C[i], W[self.wire_extra_constant(i)]))
+        return out
+
+    def _eval_stacked(self, R, C, W):
+        """Identical math with the copies on a stacked lane axis (the copies
+        are fully independent): one select-tree instead of num_copies."""
+        F = R.F
+        cn = self.num_copies
+        bits_st = [
+            _se_stack(F, [W[self.wire_bit(i, c)] for c in range(cn)])
+            for i in range(self.bits)
+        ]
+        boo = [R.sub(R.mul(b, b), b) for b in bits_st]
+        recon = R.reduce_with_powers(R.const(2), bits_st)
+        ai = _se_stack(F, [W[self.wire_access_index(c)] for c in range(cn)])
+        claimed = _se_stack(F, [W[self.wire_claimed_element(c)] for c in range(cn)])
+        items = [
+            _se_stack(F, [W[self.wire_list_item(i, c)] for c in range(cn)])
+            for i in range(self.vec_size())
+        ]
+        for b in bits_st:
+            items = [
+                R.mul_add(b, R.sub(items[2 * k + 1], items[2 * k]), items[2 * k])
+                for k in range(len(items) // 2)
+            ]
+        recon_d = R.sub(recon, ai)
+        sel_d = R.sub(items[0], claimed)
+        out = []
+        for c in range(cn):
+            for i in range(self.bits):
+                out.append(_se_gate_row(F, boo[i], c))
+            out.append(_se_gate_row(F, recon_d, c))
+            out.append(_se_gate_row(F, sel_d, c))
         for i in range(self.num_extra_constants):
             out.append(R.sub(C[i], W[self.wire_extra_constant(i)]))
         return out
@@ -349,6 +402,17 @@ class ReducingGate(Gate):
     def eval_unfiltered(self, R, C, W, pi):
         alpha = _alg_wires(W, 2)
         acc = _alg_wires(W, 4)
+        if _is_jax_ext_ring(R):
+            # the Horner "chain" reads every accumulator from wires, so the
+            # steps are independent constraints: stack them on a lane axis
+            n = self.num_coeffs
+            accs = [_alg_wires(W, self.wires_acc(i)) for i in range(n)]
+            prevs = _alg_stack(R, [acc] + accs[:-1])
+            coeffs = _alg_stack(R, [
+                alg_from_ring(R, W[self.wire_coeff(i)]) for i in range(n)])
+            accs_st = _alg_stack(R, accs)
+            tmp = alg_sub(R, alg_mul_add(R, prevs, alpha, coeffs), accs_st)
+            return _alg_unstack_pairs(R, tmp)
         out = []
         for i in range(self.num_coeffs):
             coeff = alg_from_ring(R, W[self.wire_coeff(i)])
@@ -390,6 +454,15 @@ class ReducingExtensionGate(Gate):
     def eval_unfiltered(self, R, C, W, pi):
         alpha = _alg_wires(W, 2)
         acc = _alg_wires(W, 4)
+        if _is_jax_ext_ring(R):
+            n = self.num_coeffs
+            accs = [_alg_wires(W, self.wires_acc(i)) for i in range(n)]
+            prevs = _alg_stack(R, [acc] + accs[:-1])
+            coeffs = _alg_stack(R, [
+                _alg_wires(W, self.wire_coeff(i)) for i in range(n)])
+            accs_st = _alg_stack(R, accs)
+            tmp = alg_sub(R, alg_mul_add(R, prevs, alpha, coeffs), accs_st)
+            return _alg_unstack_pairs(R, tmp)
         out = []
         for i in range(self.num_coeffs):
             coeff = _alg_wires(W, self.wire_coeff(i))
@@ -874,6 +947,48 @@ def _se_stack(F, ext_list):
 
 def _se_unstack(F, se):
     return list(zip(F.unstack(se[0]), F.unstack(se[1])))
+
+
+def _se_gate_row(F, se, k):
+    """Row k of a stacked ext pair -> plain (c0, c1)."""
+    return (F.index(se[0], k), F.index(se[1], k))
+
+
+def _alg_stack(R, alg_list):
+    """List of ext-algebra elements ((c0,c1),(d0,d1)) -> one algebra element
+    whose two ext components carry a stacked leading lane axis. Both
+    components are broadcast to one common trailing shape first (a component
+    may be a scalar-shaped zero, e.g. from alg_from_ring)."""
+    import jax.numpy as jnp
+
+    from ..ops.gl64_jax import gmap
+
+    F = R.F
+    shape = jnp.broadcast_shapes(
+        *[c[0].shape for a in alg_list for c in (a[0], a[1])])
+
+    def b(e):
+        return (
+            gmap(lambda x: jnp.broadcast_to(x, shape), e[0]),
+            gmap(lambda x: jnp.broadcast_to(x, shape), e[1]),
+        )
+
+    return (
+        _se_stack(F, [b(a[0]) for a in alg_list]),
+        _se_stack(F, [b(a[1]) for a in alg_list]),
+    )
+
+
+def _alg_unstack_pairs(R, alg):
+    """Stacked algebra element -> flat constraint list [a0_row, a1_row, ...]
+    in per-lane order (the order the unrolled loops emit)."""
+    F = R.F
+    k = alg[0][0].l0.shape[0]
+    out = []
+    for i in range(k):
+        out.append(_se_gate_row(F, alg[0], i))
+        out.append(_se_gate_row(F, alg[1], i))
+    return out
 
 
 def _se_const_u64(F, vals, ndim_extra):

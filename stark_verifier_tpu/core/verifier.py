@@ -106,9 +106,17 @@ def _perm_for(F, common):
 
 def get_challenges(F, common: CommonData, pa: dict, pi_hash, circuit_digest):
     """Replay the exact challenger schedule (reference:
-    plonk_verifier_chip.rs:55-154)."""
+    plonk_verifier_chip.rs:55-154).
+
+    On a JAX backend the schedule is recorded and every permutation runs in
+    ONE lax.scan (TapeChallenger) — byte-exact, but the inlined permutation
+    body appears once in the trace instead of once per duplex step."""
+    from .challenger import TapeChallenger, resolve_challenges
+
     nc = common.config.num_challenges
-    ch = Challenger(F, permute=_perm_for(F, common))
+    use_tape = getattr(F, "IS_JAX", False)
+    cls = TapeChallenger if use_tape else Challenger
+    ch = cls(F, permute=_perm_for(F, common))
     for e in _scalar_list(F, circuit_digest):
         ch.observe_element(e)
     for e in pi_hash:
@@ -139,6 +147,12 @@ def get_challenges(F, common: CommonData, pa: dict, pi_hash, circuit_digest):
     ch.observe_element(pa["pow_witness"])
     out.fri_pow_response = ch.get_challenge()
     out.fri_query_indices = ch.get_n_challenges(common.config.fri_config.num_query_rounds)
+    if use_tape:
+        vals = ch.finalize()
+        for f in ("plonk_betas", "plonk_gammas", "plonk_alphas",
+                  "plonk_zeta", "fri_alpha", "fri_betas",
+                  "fri_pow_response", "fri_query_indices"):
+            setattr(out, f, resolve_challenges(getattr(out, f), vals))
     return out
 
 

@@ -88,7 +88,12 @@ def _get_challenges_batched(F, common, pa, pi_hash, circuit_digest, B):
     pa2 = dict(pa)
     ch = V1.ProofChallenges()
     nc = common.config.num_challenges
-    c = Challenger(F, shape=(B,), permute=V1._perm_for(F, common))
+    # record the duplex schedule, run all permutations in one lax.scan
+    # (byte-exact; see TapeChallenger) — the per-step inlined permutation
+    # body dominated the batched verifier's XLA compile time
+    from .challenger import TapeChallenger, resolve_challenges
+
+    c = TapeChallenger(F, shape=(B,), permute=V1._perm_for(F, common))
     for e in V1._scalar_list(F, circuit_digest):
         c.observe_element(b_(e))
     for e in pi_hash:
@@ -119,6 +124,11 @@ def _get_challenges_batched(F, common, pa, pi_hash, circuit_digest, B):
     ch.fri_pow_response = c.get_challenge()
     ch.fri_query_indices = c.get_n_challenges(
         common.config.fri_config.num_query_rounds)
+    vals = c.finalize()
+    for f in ("plonk_betas", "plonk_gammas", "plonk_alphas", "plonk_zeta",
+              "fri_alpha", "fri_betas", "fri_pow_response",
+              "fri_query_indices"):
+        setattr(ch, f, resolve_challenges(getattr(ch, f), vals))
     return ch
 
 

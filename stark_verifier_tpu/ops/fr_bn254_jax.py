@@ -321,18 +321,24 @@ def decode_gl3(fr_limbs) -> list:
 def permute12_bridge(state: gj.GF) -> gj.GF:
     """The width-12 Goldilocks bridge permutation: pack 3 GL per Fr (4 Fr +
     zero pad to t=5), BN254-permute, unpack the first 4 Fr -> 12 GL
-    (reference: plonky2_config.rs:38-51)."""
-    shape = state.l0.shape[1:]
-    frs = [
-        encode_gl3(gj.index(state, 3 * i), gj.index(state, 3 * i + 1),
-                   gj.index(state, 3 * i + 2))
-        for i in range(4)
-    ]
-    packed = jnp.stack(frs + [jnp.zeros_like(frs[0])], axis=1)  # [16, 5, ...]
+    (reference: plonky2_config.rs:38-51).
+
+    The 4 pack/unpack lanes ride one stacked [4, ...] axis, so the (static,
+    unrolled) limb schoolbook loops in encode_gl3/decode_gl3 are traced once
+    instead of four times — this permutation body appears inline at every
+    sequential sponge step of a bn254-config transcript, so its trace size
+    directly multiplies into the wrapped-verifier compile time."""
+    x0 = gj.take(state, np.array([0, 3, 6, 9]))    # [4, ...]
+    x1 = gj.take(state, np.array([1, 4, 7, 10]))
+    x2 = gj.take(state, np.array([2, 5, 8, 11]))
+    fr = encode_gl3(x0, x1, x2)                     # [16, 4, ...]
+    packed = jnp.concatenate([fr, jnp.zeros_like(fr[:, :1])], axis=1)
     packed = to_mont(packed)
     out = permute_fr_mont(packed)
     out = from_mont(out)
-    digits = []
-    for i in range(4):
-        digits.extend(decode_gl3(out[:, i]))
-    return gj.stack(digits)
+    d0, d1, d2 = decode_gl3(out[:, :4])             # each GF [4, ...]
+    # interleave to [12, ...]: row 3*i + j = digit_j of Fr lane i
+    return gj.gmap(
+        lambda a0, a1, a2: jnp.stack([a0, a1, a2], axis=1).reshape(
+            (12,) + a0.shape[1:]),
+        d0, d1, d2)

@@ -17,6 +17,8 @@ Sponge: width 12, rate 8, overwrite mode, no padding — matching plonky2's
 """
 from __future__ import annotations
 
+import numpy as np
+
 from ._poseidon_gl_constants import (
     ALL_ROUND_CONSTANTS,
     HALF_N_FULL_ROUNDS,
@@ -84,21 +86,44 @@ def permute(F, state):
 
 
 def absorb_chunks_scan(F, state, chunks, permute=permute):
-    """Absorb `k` full rate-8 chunks into `state` (list of 12) with one
-    lax.scan (JAX backend): chunks is a list of k lists of 8 elements."""
+    """Absorb `k` rate-8 chunks into `state` (list of 12) with ONE lax.scan
+    (JAX backend): chunks is a list of k lists of <= 8 elements. A short
+    chunk (overwrite-mode absorb of the sponge tail) is folded into the same
+    scan with a per-position keep/overwrite mask, so every sponge call site
+    carries exactly one inlined permutation body regardless of input length
+    — the permutation body (especially the bn254 bridge's ~10k-eqn one)
+    otherwise multiplies into the XLA compile time at every call site."""
     import jax
+    import jax.numpy as jnp
 
     shape = state[0].shape
-    flat = [F.add(e, F.zeros(shape)) for ch in chunks for e in ch]
-    xs = F.stack(flat)  # [k*8, ...]
     k = len(chunks)
-    xs = F.reshape(xs, (k, RATE) + shape)
+    full = all(len(ch) == RATE for ch in chunks)
+    mask = np.zeros((k, RATE), bool)
+    flat = []
+    for ci, ch in enumerate(chunks):
+        mask[ci, : len(ch)] = True
+        flat.extend(F.add(e, F.zeros(shape)) for e in ch)
+        flat.extend(F.zeros(shape) for _ in range(RATE - len(ch)))
+    xs = F.reshape(F.stack(flat), (k, RATE) + shape)
 
-    def body(st, chunk):
-        st = F.concat([chunk, F.index(st, slice(RATE, None))], axis=0)
+    if full:
+        def body(st, chunk):
+            st = F.concat([chunk, F.index(st, slice(RATE, None))], axis=0)
+            return permute(F, st), None
+
+        st, _ = jax.lax.scan(body, F.stack(state), xs)
+        return F.unstack(st)
+
+    m = jnp.asarray(mask).reshape((k, RATE) + (1,) * len(shape))
+
+    def body(st, x):
+        chunk, mm = x
+        front = F.select(mm, chunk, F.index(st, slice(0, RATE)))
+        st = F.concat([front, F.index(st, slice(RATE, None))], axis=0)
         return permute(F, st), None
 
-    st, _ = jax.lax.scan(body, F.stack(state), xs)
+    st, _ = jax.lax.scan(body, F.stack(state), (xs, m))
     return F.unstack(st)
 
 
@@ -109,12 +134,12 @@ def hash_n_to_m_no_pad(F, inputs, num_outputs: int, shape=(), permute=permute):
     (reference: plonky2_config.rs:53-104 — the sponge protocol is identical
     for both configs, only the permutation differs)."""
     state = [F.zeros(shape) for _ in range(WIDTH)]
-    n_full = len(inputs) // RATE
+    n_chunks = (len(inputs) + RATE - 1) // RATE
     start0 = 0
-    if getattr(F, "IS_JAX", False) and n_full >= 2:
-        chunks = [inputs[i * RATE : (i + 1) * RATE] for i in range(n_full)]
+    if getattr(F, "IS_JAX", False) and n_chunks >= 2:
+        chunks = [inputs[i * RATE : (i + 1) * RATE] for i in range(n_chunks)]
         state = absorb_chunks_scan(F, state, chunks, permute=permute)
-        start0 = n_full * RATE
+        start0 = n_chunks * RATE
     for start in range(start0, len(inputs), RATE):
         chunk = inputs[start : start + RATE]
         for i, e in enumerate(chunk):
